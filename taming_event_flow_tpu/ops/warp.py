@@ -1,0 +1,309 @@
+"""Event-warping op library (the "IWE" kernel layer).
+
+TPU-native re-design of the reference warping library
+(reference ``utils/iwe.py:5-257``): pure functions over statically-shaped,
+zero-padded event tensors. Ragged event windows are represented as
+``[B, N, ...]`` arrays whose padding rows carry a zero polarity mask, so they
+never contribute to any image of warped events (IWE) — the exact masking
+contract the reference establishes in its collate fn
+(reference ``dataloader/base.py:416-423``).
+
+Shape/layout conventions:
+  * ``event_loc``:  ``[B, N, 2]`` float ``(y, x)`` pixel coordinates.
+  * ``event_ts``:   ``[B, N, 1]`` float timestamps.
+  * ``pol_mask``:   ``[B, N, 2]`` float ``(positive, negative)`` indicator.
+  * ``flow_map``:   ``[B, H, W, 2]`` float, last dim ``(x, y)`` (NHWC).
+  * ``iwe``:        ``[B, H, W, C]`` float (NHWC).
+
+All functions are jit-safe (static shapes, no data-dependent control flow).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+Res = Tuple[int, int]  # (H, W)
+
+
+def event_propagation(event_ts, event_loc, event_flow, tref):
+    """Linearly warp events to a reference time.
+
+    ``loc' = loc + (tref - ts) * flow``  with ``flow`` given per-event in
+    ``(y, x)`` order (reference ``utils/iwe.py:5-14``).
+
+    :param event_ts: ``[B, N, 1]`` event timestamps.
+    :param event_loc: ``[B, N, 2]`` event ``(y, x)`` locations.
+    :param event_flow: ``[B, N, 2]`` per-event flow ``(y, x)``.
+    :param tref: scalar (or broadcastable) reference time.
+    :return: ``[B, N, 2]`` warped event locations.
+    """
+    return event_loc + (tref - event_ts) * event_flow
+
+
+def bilinear_sample(img, loc):
+    """Bilinearly sample a single-channel image at fractional locations.
+
+    Matches ``torch.nn.functional.grid_sample(mode="bilinear",
+    align_corners=True, padding_mode="zeros")`` when the normalized grid is
+    built as ``2 * loc / (size - 1) - 1`` — i.e. plain bilinear interpolation
+    at pixel coordinates with out-of-frame taps contributing zero
+    (reference ``utils/iwe.py:17-40``).
+
+    :param img: ``[B, H, W]`` image.
+    :param loc: ``[B, N, 2]`` ``(y, x)`` sample locations.
+    :return: ``[B, N]`` sampled values.
+    """
+    h, w = img.shape[1], img.shape[2]
+    y = loc[..., 0]
+    x = loc[..., 1]
+
+    y0 = jnp.floor(y)
+    x0 = jnp.floor(x)
+    y1 = y0 + 1.0
+    x1 = x0 + 1.0
+
+    wy1 = y - y0
+    wy0 = 1.0 - wy1
+    wx1 = x - x0
+    wx0 = 1.0 - wx1
+
+    img_flat = img.reshape(img.shape[0], h * w)
+
+    def tap(yy, xx, ww):
+        valid = (yy >= 0) & (yy <= h - 1) & (xx >= 0) & (xx <= w - 1)
+        yi = jnp.clip(yy, 0, h - 1).astype(jnp.int32)
+        xi = jnp.clip(xx, 0, w - 1).astype(jnp.int32)
+        flat = yi * w + xi
+        vals = jnp.take_along_axis(img_flat, flat, axis=1)
+        return vals * ww * valid.astype(img.dtype)
+
+    out = (
+        tap(y0, x0, wy0 * wx0)
+        + tap(y0, x1, wy0 * wx1)
+        + tap(y1, x0, wy1 * wx0)
+        + tap(y1, x1, wy1 * wx1)
+    )
+    return out
+
+
+def get_event_flow(flow_map, event_loc):
+    """Sample an optical-flow map at (fractional) event locations.
+
+    :param flow_map: ``[B, H, W, 2]`` flow map, last dim ``(x, y)``.
+    :param event_loc: ``[B, N, 2]`` event ``(y, x)`` locations.
+    :return: ``[B, N, 2]`` per-event flow in ``(y, x)`` order
+        (the reference returns ``(y, x)`` too, ``utils/iwe.py:38``).
+    """
+    fx = bilinear_sample(flow_map[..., 0], event_loc)
+    fy = bilinear_sample(flow_map[..., 1], event_loc)
+    return jnp.stack([fy, fx], axis=-1)
+
+
+def purge_unfeasible(event_loc, pol_mask, res: Res):
+    """Zero events warped outside the image space.
+
+    Out-of-frame locations are set to ``(0, 0)`` and their polarity mask to
+    zero — identical to the reference so subsequent warp iterations see the
+    same values (reference ``utils/iwe.py:43-60``).
+
+    :param event_loc: ``[B, N, 2]`` warped ``(y, x)`` locations.
+    :param pol_mask: ``[B, N, 2]`` polarity mask.
+    :return: masked ``(event_loc, pol_mask)``.
+    """
+    inside = (
+        (event_loc[:, :, 0:1] >= 0)
+        & (event_loc[:, :, 0:1] <= res[0] - 1.0)
+        & (event_loc[:, :, 1:2] >= 0)
+        & (event_loc[:, :, 1:2] <= res[1] - 1.0)
+    )
+    inside = inside.astype(event_loc.dtype)
+    return event_loc * inside, pol_mask * inside
+
+
+def get_interpolation(warped_loc, res: Res, round_idx: bool = False):
+    """Bilinear splat indices/weights for warped events.
+
+    Returns the four integer taps around each fractional location and the
+    corresponding bilinear weights, flattened to row-major ``y * W + x``
+    indices. Out-of-frame taps get index 0 and weight 0
+    (reference ``utils/iwe.py:63-113``).
+
+    :param warped_loc: ``[B, N, 2]`` fractional ``(y, x)`` locations.
+    :param round_idx: nearest-pixel rounding instead of the 4-tap stencil.
+    :return: ``(idx, weights)`` with ``idx`` ``[B, M]`` int32 and ``weights``
+        ``[B, M, 1]``; ``M = N`` if ``round_idx`` else ``4 * N``. Tap order is
+        (top-left, top-right, bottom-left, bottom-right) along the N axis,
+        matching the reference's concat order.
+    """
+    if round_idx:
+        idx_yx = jnp.round(warped_loc)
+        weights = jnp.ones(warped_loc.shape[:2] + (1,), dtype=warped_loc.dtype)
+    else:
+        top_y = jnp.floor(warped_loc[:, :, 0:1])
+        bot_y = jnp.floor(warped_loc[:, :, 0:1] + 1.0)
+        left_x = jnp.floor(warped_loc[:, :, 1:2])
+        right_x = jnp.floor(warped_loc[:, :, 1:2] + 1.0)
+
+        top_left = jnp.concatenate([top_y, left_x], axis=2)
+        top_right = jnp.concatenate([top_y, right_x], axis=2)
+        bottom_left = jnp.concatenate([bot_y, left_x], axis=2)
+        bottom_right = jnp.concatenate([bot_y, right_x], axis=2)
+        idx_yx = jnp.concatenate(
+            [top_left, top_right, bottom_left, bottom_right], axis=1
+        )
+
+        tiled = jnp.concatenate([warped_loc] * 4, axis=1)
+        weights = jnp.maximum(0.0, 1.0 - jnp.abs(tiled - idx_yx))
+
+    inside = (
+        (idx_yx[:, :, 0:1] >= 0)
+        & (idx_yx[:, :, 0:1] < res[0])
+        & (idx_yx[:, :, 1:2] >= 0)
+        & (idx_yx[:, :, 1:2] < res[1])
+    )
+    inside_f = inside.astype(warped_loc.dtype)
+    idx_yx = idx_yx * inside_f
+
+    if round_idx:
+        weights = weights * inside_f
+    else:
+        weights = jnp.prod(weights, axis=-1, keepdims=True) * inside_f
+
+    flat_idx = (idx_yx[:, :, 0] * res[1] + idx_yx[:, :, 1]).astype(jnp.int32)
+    return flat_idx, weights
+
+
+def splat_bilinear(flat_idx, weights, res: Res):
+    """Scatter-add splat of weighted points into an image.
+
+    The hot accumulation op of the whole framework (reference
+    ``utils/iwe.py:116-136`` via ``Tensor.scatter_add_``). Lowers to XLA's
+    batched scatter-add; grad w.r.t. ``weights`` is the matching gather, which
+    XLA derives. A fused Pallas kernel backend can replace this transparently.
+
+    :param flat_idx: ``[B, M]`` int32 row-major pixel indices.
+    :param weights: ``[B, M, 1]`` splat weights (already masked).
+    :return: ``[B, H, W, 1]`` accumulated image.
+    """
+    b, m = flat_idx.shape
+    hw = res[0] * res[1]
+    img = jnp.zeros((b, hw), dtype=weights.dtype)
+    img = img.at[jnp.arange(b)[:, None], flat_idx].add(
+        weights[..., 0], mode="drop"
+    )
+    return img.reshape(b, res[0], res[1], 1)
+
+
+def interpolate(flat_idx, weights, res: Res, polarity_mask=None):
+    """Image of warped events from splat indices/weights.
+
+    :param flat_idx: ``[B, M]`` int32 indices from :func:`get_interpolation`.
+    :param weights: ``[B, M, 1]`` splat weights.
+    :param polarity_mask: optional ``[B, M, 1]`` mask multiplied into weights
+        (zero for padding events — reference ``utils/iwe.py:126-127``).
+    :return: ``[B, H, W, 1]`` image of warped events.
+    """
+    if polarity_mask is not None:
+        weights = weights * polarity_mask
+    return splat_bilinear(flat_idx, weights, res)
+
+
+def iwe_from_events(warped_loc, pol_mask, res: Res, round_idx: bool = False,
+                    extra_weights=None):
+    """One-call per-polarity IWE: interpolation + two splats.
+
+    :param warped_loc: ``[B, N, 2]`` warped ``(y, x)`` locations.
+    :param pol_mask: ``[B, N, 2]`` polarity mask.
+    :param extra_weights: optional ``[B, N, 1]`` per-event weights (e.g.
+        normalized timestamps) multiplied into the splat weights.
+    :return: ``[B, H, W, 2]`` per-polarity image of warped events.
+    """
+    idx, weights = get_interpolation(warped_loc, res, round_idx=round_idx)
+    reps = 1 if round_idx else 4
+    pm = jnp.concatenate([pol_mask] * reps, axis=1) if reps > 1 else pol_mask
+    if extra_weights is not None:
+        ew = (
+            jnp.concatenate([extra_weights] * reps, axis=1)
+            if reps > 1
+            else extra_weights
+        )
+        weights = weights * ew
+    pos = interpolate(idx, weights, res, polarity_mask=pm[:, :, 0:1])
+    neg = interpolate(idx, weights, res, polarity_mask=pm[:, :, 1:2])
+    return jnp.concatenate([pos, neg], axis=-1)
+
+
+def deblur_events(flow_map, event_list, res: Res, round_idx: bool = True,
+                  polarity_mask=None, round_flow: bool = True):
+    """Compensate event motion ("deblur") with a flow map; single polarity.
+
+    Per-event flow lookup at the *original* (integer or fractional) event
+    location — nearest pixel if ``round_flow`` else bilinear — followed by a
+    one-shot warp to ``tref=1`` and a splat
+    (reference ``utils/iwe.py:139-224``).
+
+    :param flow_map: ``[B, H, W, 2]`` flow map, last dim ``(x, y)``.
+    :param event_list: ``[B, N, 4]`` events ``(ts, y, x, p)``; ``ts`` in
+        ``[0, 1]``.
+    :param polarity_mask: optional ``[B, N, 1]`` polarity mask.
+    :return: ``[B, H, W, 1]`` image of warped events.
+    """
+    loc = event_list[:, :, 1:3]
+    feas = (
+        (loc[:, :, 0:1] >= 0)
+        & (loc[:, :, 0:1] < res[0])
+        & (loc[:, :, 1:2] >= 0)
+        & (loc[:, :, 1:2] < res[1])
+    ).astype(loc.dtype)
+    loc = loc * feas
+
+    if round_flow:
+        # nearest-pixel flow lookup (reference uses the truncated index)
+        flat = (loc[:, :, 0] * res[1] + loc[:, :, 1]).astype(jnp.int32)
+        fmap = flow_map.reshape(flow_map.shape[0], -1, 2)
+        event_fx = jnp.take_along_axis(fmap[..., 0], flat, axis=1)
+        event_fy = jnp.take_along_axis(fmap[..., 1], flat, axis=1)
+        event_flow = jnp.stack([event_fy, event_fx], axis=-1)
+    else:
+        event_flow = get_event_flow(flow_map, loc)
+
+    fw = event_propagation(event_list[:, :, 0:1], loc, event_flow, 1.0)
+    idx, weights = get_interpolation(fw, res, round_idx=round_idx)
+    reps = 1 if round_idx else 4
+    feas_w = jnp.concatenate([feas] * reps, axis=1) if reps > 1 else feas
+    weights = weights * feas_w
+    pm = None
+    if polarity_mask is not None:
+        pm = (
+            jnp.concatenate([polarity_mask] * reps, axis=1)
+            if reps > 1
+            else polarity_mask
+        )
+    return interpolate(idx, weights, res, polarity_mask=pm)
+
+
+def compute_pol_iwe(flow_map, event_list, res: Res, pol_mask,
+                    round_idx: bool = True, round_flow: bool = True):
+    """Per-polarity image of warped events (reference ``utils/iwe.py:227-257``).
+
+    :param flow_map: ``[B, H, W, 2]`` flow map, last dim ``(x, y)``.
+    :param event_list: ``[B, N, 4]`` events ``(ts, y, x, p)``.
+    :param pol_mask: ``[B, N, 2]`` polarity mask.
+    :return: ``[B, H, W, 2]`` image of warped events.
+    """
+    pos = deblur_events(
+        flow_map, event_list, res,
+        round_idx=round_idx, polarity_mask=pol_mask[:, :, 0:1],
+        round_flow=round_flow,
+    )
+    neg = deblur_events(
+        flow_map, event_list, res,
+        round_idx=round_idx, polarity_mask=pol_mask[:, :, 1:2],
+        round_flow=round_flow,
+    )
+    return jnp.concatenate([pos, neg], axis=-1)

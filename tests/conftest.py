@@ -1,0 +1,38 @@
+"""Test configuration: force a virtual 8-device CPU platform.
+
+Sharding/multi-chip tests run on faked host devices
+(``--xla_force_host_platform_device_count``), the JAX-idiomatic way to test
+meshes without TPU pods.
+
+This environment registers a tunneled TPU PJRT plugin ("axon") in every
+python process via sitecustomize; initializing it takes minutes. We therefore
+pin ``jax_platforms`` to cpu *after* import (the plugin registers eagerly but
+initializes lazily), which keeps the suite fast and hermetic.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+REFERENCE = "/root/reference"
+
+
+def has_reference():
+    return os.path.isdir(REFERENCE)
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)
