@@ -1,0 +1,194 @@
+"""Shared loss machinery: config, fused IWE+timestamp splat, focus loss,
+flow smoothness priors.
+
+Functional counterparts of the reference loss base class
+(reference ``loss/flow.py:14-213``). All functions take explicit arrays —
+flow-map sequences are ``[P, B, H, W, 2]`` stacks (last dim ``(x, y)``).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import get_interpolation, get_event_flow, purge_unfeasible
+
+
+class LossConfig(NamedTuple):
+    """Static loss hyperparameters (reference ``configs/train_flow.yml:16-22``).
+
+    ``passes_loss`` is the *effective* window length — callers must already
+    have doubled it for ``iterative_mode == "four"``
+    (reference ``loss/flow.py:422-423``).
+    """
+
+    res: Tuple[int, int]
+    passes_loss: int = 10
+    scales_loss: int = 1
+    iterative_mode: str = "two"  # one / two / four
+    round_ts: bool = False
+    loss_scaling: bool = True
+    border_compensation: bool = True
+    flow_spat_smooth_weight: Optional[float] = None
+    flow_temp_smooth_weight: Optional[float] = None
+
+    @property
+    def passes_list(self) -> Sequence[int]:
+        # timescales: passes_loss / 2^s (reference ``loss/flow.py:41-44``)
+        return [self.passes_loss // (2**s) for s in range(self.scales_loss)]
+
+    @property
+    def delta_passes(self) -> Sequence[int]:
+        # deblurring-window radius per timescale (reference ``loss/flow.py:434-441``)
+        div = {"one": 1, "two": 2, "four": 4}[self.iterative_mode]
+        return [p // div for p in self.passes_list]
+
+
+def global_ts(event_ts, pass_idx, round_ts: bool):
+    """Window-local ts in [0, 1] -> global pass timeline ts in [t, t+1].
+
+    ``round_ts`` collapses every event of a pass to ``min(ts) + 0.5``
+    (reference ``loss/flow.py:461-463``; with the loader contract
+    ``ts[0] = 0`` this is the window midpoint).
+
+    :param event_ts: ``[P, B, N, 1]`` window-local timestamps.
+    :param pass_idx: ``[P, 1, 1, 1]`` pass indices.
+    """
+    ts = event_ts + pass_idx
+    if round_ts:
+        mins = jnp.min(ts, axis=(1, 2, 3), keepdims=True)
+        ts = jnp.broadcast_to(mins + 0.5, ts.shape)
+    return ts
+
+
+def iwe_with_ts(warped_loc, pol_mask, norm_ts, res):
+    """Fused per-polarity IWE + timestamp-IWE in ONE batched scatter.
+
+    The reference runs four independent ``scatter_add_`` launches per
+    deblurring point (reference ``loss/flow.py:98-108``); here the four
+    accumulation channels (pos, neg, pos*ts, neg*ts) ride a single XLA
+    scatter over a ``[B, H*W, 4]`` buffer — 4x fewer scatter passes over the
+    index stream, which is what the TPU memory system sees.
+
+    :param warped_loc: ``[B, N, 2]`` warped ``(y, x)`` locations.
+    :param pol_mask: ``[B, N, 2]`` polarity mask (zero for padding).
+    :param norm_ts: ``[B, N, 1]`` normalized timestamps.
+    :return: ``(iwe, iwe_ts)`` each ``[B, H, W, 2]``.
+    """
+    b = warped_loc.shape[0]
+    idx, w = get_interpolation(warped_loc, res)  # [B, 4N], [B, 4N, 1]
+    pm = jnp.concatenate([pol_mask] * 4, axis=1)
+    ts = jnp.concatenate([norm_ts] * 4, axis=1)
+    w4 = jnp.concatenate(
+        [
+            w * pm[:, :, 0:1],
+            w * pm[:, :, 1:2],
+            w * pm[:, :, 0:1] * ts,
+            w * pm[:, :, 1:2] * ts,
+        ],
+        axis=-1,
+    )  # [B, 4N, 4]
+    hw = res[0] * res[1]
+    buf = jnp.zeros((b, hw, 4), dtype=w4.dtype)
+    buf = buf.at[jnp.arange(b)[:, None], idx].add(w4, mode="drop")
+    buf = buf.reshape(b, res[0], res[1], 4)
+    return buf[..., 0:2], buf[..., 2:4]
+
+
+def focus_loss(iwe, iwe_ts_norm, loss_scaling: bool = True):
+    """Squared average-timestamp focus objective (reference ``loss/flow.py:112-129``).
+
+    :param iwe: ``[B, H, W, 2]`` image of warped events.
+    :param iwe_ts_norm: ``[B, H, W, 2]`` per-pixel/per-polarity average ts.
+    :return: scalar loss (summed over batch).
+    """
+    b = iwe.shape[0]
+    ts_flat = iwe_ts_norm.reshape(b, -1, 2)
+    loss = jnp.sum(ts_flat[..., 0] ** 2, axis=1) + jnp.sum(
+        ts_flat[..., 1] ** 2, axis=1
+    )
+    if loss_scaling:
+        nonzero_px = (jnp.sum(iwe, axis=-1) > 0).reshape(b, -1)
+        loss = loss / (jnp.sum(nonzero_px, axis=1) + 1e-9)
+    return jnp.sum(loss)
+
+
+def flow_spatial_smoothing(flow_seq_per_scale, weight: float):
+    """Charbonnier spatial smoothness over 4 directions
+    (reference ``loss/flow.py:170-209``).
+
+    :param flow_seq_per_scale: list over scales of ``[B, P, H, W, 2]``.
+    :return: scalar.
+    """
+    total = 0.0
+    for flow in flow_seq_per_scale:
+        fx, fy = flow[..., 0], flow[..., 1]  # [B, P, H, W]
+
+        def charb(a):
+            return jnp.sqrt(a**2 + 1e-6)
+
+        d_x = charb(fx[..., :, :-1] - fx[..., :, 1:]) + charb(
+            fy[..., :, :-1] - fy[..., :, 1:]
+        )
+        d_y = charb(fx[..., :-1, :] - fx[..., 1:, :]) + charb(
+            fy[..., :-1, :] - fy[..., 1:, :]
+        )
+        d_dr = charb(fx[..., :-1, :-1] - fx[..., 1:, 1:]) + charb(
+            fy[..., :-1, :-1] - fy[..., 1:, 1:]
+        )
+        d_ur = charb(fx[..., 1:, :-1] - fx[..., :-1, 1:]) + charb(
+            fy[..., 1:, :-1] - fy[..., :-1, 1:]
+        )
+        terms = [d_x, d_y, d_dr, d_ur]
+        b = flow.shape[0]
+        acc = 0.0
+        for t in terms:
+            acc = acc + t.reshape(b, flow.shape[1], -1).mean(axis=2).mean(axis=1)
+        total = total + acc / 4.0
+    total = total / len(flow_seq_per_scale)
+    return weight * jnp.sum(total)
+
+
+def flow_temporal_smoothing(flow_seq_per_scale, res, weight: float):
+    """Charbonnier temporal consistency against the backward-warped next
+    flow map (reference ``loss/flow.py:131-168``).
+
+    :param flow_seq_per_scale: list over scales of ``[B, P, H, W, 2]``.
+    """
+    h, w = res
+    yy, xx = jnp.meshgrid(
+        jnp.arange(h, dtype=jnp.float32),
+        jnp.arange(w, dtype=jnp.float32),
+        indexing="ij",
+    )
+    grid = jnp.stack([yy, xx], axis=-1).reshape(1, -1, 2)  # [1, HW, 2] (y, x)
+
+    total = 0.0
+    num_passes = flow_seq_per_scale[0].shape[1]
+    for flow in flow_seq_per_scale:
+        b = flow.shape[0]
+        acc = 0.0
+        for j in range(num_passes - 1):
+            fj = flow[:, j]  # [B, H, W, 2] (x, y)
+            flow_yx = jnp.stack(
+                [fj[..., 1].reshape(b, -1), fj[..., 0].reshape(b, -1)], axis=-1
+            )
+            warped_idx = grid + flow_yx  # [B, HW, 2]
+            inside = (
+                (warped_idx[..., 0] >= 0)
+                & (warped_idx[..., 0] <= h - 1.0)
+                & (warped_idx[..., 1] >= 0)
+                & (warped_idx[..., 1] <= w - 1.0)
+            ).astype(flow.dtype)
+            warped_flow = get_event_flow(flow[:, j + 1], warped_idx)  # [B,HW,2] (y,x)
+            diff = jnp.sqrt((flow_yx - warped_flow) ** 2 + 1e-9)
+            diff = jnp.sum(diff, axis=-1)
+            acc = acc + jnp.sum(diff * inside, axis=1) / (
+                jnp.sum(inside, axis=1) + 1e-9
+            )
+        total = total + acc
+    total = total / len(flow_seq_per_scale)
+    total = total / (num_passes - 1)
+    return weight * jnp.sum(total)

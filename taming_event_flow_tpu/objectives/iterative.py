@@ -1,0 +1,230 @@
+"""Iterative multi-reference contrast-maximization loss — the paper's core.
+
+Semantics of the reference ``Iterative`` loss (reference
+``loss/flow.py:415-746``), re-architected for TPU/XLA:
+
+*   The reference warps each of the P event windows pass-by-pass through the
+    stored flow sequence — forward to ``t = P`` and backward to ``t = 0`` —
+    in ~P² sequential python/CUDA launches per flow scale
+    (reference ``loss/flow.py:521-654``). Here the same warp table is
+    produced by exactly **two** ``lax.scan``s over the global pass timeline:
+    at timeline step τ every event window with ``t ≤ τ`` (forward) or
+    ``t ≥ τ`` (backward) samples flow map τ and propagates one step, as one
+    batched bilinear gather over ``[B, P·N]`` events. O(P) kernel launches,
+    O(P²·N) useful work, fully vectorized.
+
+*   The reference duplicates the entire warp for a detached event subset
+    under ``no_grad`` (reference ``loss/flow.py:625-654``). Here grad and
+    detached events live in ONE tensor with a per-event ``grad_mask``; the
+    recorded table entries pass through
+    ``where(grad_mask, loc, stop_gradient(loc))``, which reproduces the
+    reference's gradient structure exactly while halving the warp work.
+
+*   Padding events carry a zero polarity mask and therefore contribute to no
+    IWE, no focus normalization, and no gradient — the static-shape
+    equivalent of the reference's ragged windows.
+
+Inputs use the global convention: ``flows[p, s]`` is the scale-``s`` flow map
+(already ``flow_scaling``-scaled, in px/pass) predicted at pass ``p``.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import get_event_flow
+from .base import (
+    LossConfig,
+    global_ts,
+    iwe_with_ts,
+    focus_loss,
+    flow_spatial_smoothing,
+    flow_temporal_smoothing,
+)
+
+
+def _sample_all(flow_map, loc):
+    """Sample one flow map at the locations of all P event windows.
+
+    :param flow_map: ``[B, H, W, 2]``.
+    :param loc: ``[P, B, N, 2]``.
+    :return: ``[P, B, N, 2]`` per-event flow ``(y, x)``.
+    """
+    p, b, n, _ = loc.shape
+    loc_b = jnp.transpose(loc, (1, 0, 2, 3)).reshape(b, p * n, 2)
+    flow = get_event_flow(flow_map, loc_b)
+    return jnp.transpose(flow.reshape(b, p, n, 2), (1, 0, 2, 3))
+
+
+def _purge(loc, mask, res):
+    inside = (
+        (loc[..., 0:1] >= 0)
+        & (loc[..., 0:1] <= res[0] - 1.0)
+        & (loc[..., 1:2] >= 0)
+        & (loc[..., 1:2] <= res[1] - 1.0)
+    ).astype(loc.dtype)
+    return loc * inside, mask * inside
+
+
+def warp_table(flow_maps, event_loc, event_ts, pol_mask, res,
+               grad_mask=None):
+    """Build the full (tref × window) iterative warp table with two scans.
+
+    :param flow_maps: ``[P, B, H, W, 2]`` flow sequence for one scale.
+    :param event_loc: ``[P, B, N, 2]`` per-window event ``(y, x)``.
+    :param event_ts: ``[P, B, N, 1]`` global timeline ts (in ``[t, t+1]``).
+    :param pol_mask: ``[P, B, N, 2]`` polarity masks.
+    :param grad_mask: optional ``[P, B, N, 1]``; recorded locations of events
+        with ``grad_mask == 0`` are stop-gradiented (the reference's detached
+        event path).
+    :return: ``(table_loc, table_mask)`` of shape ``[P+1, P, B, N, 2]``:
+        entry ``[tref, t]`` holds window ``t``'s events warped to time
+        ``tref`` and the polarity mask after cumulative purging.
+    """
+    p = flow_maps.shape[0]
+    t_idx = jnp.arange(p).reshape(p, 1, 1, 1).astype(event_ts.dtype)
+
+    def gate(loc):
+        if grad_mask is None:
+            return loc
+        return jnp.where(grad_mask > 0, loc, jax.lax.stop_gradient(loc))
+
+    def fw_step(carry, inp):
+        tau, fmap = inp
+        cur_loc, cur_ts, cur_mask = carry
+        active = (t_idx <= tau).astype(cur_loc.dtype)
+        flow = _sample_all(fmap, cur_loc)
+        prop = cur_loc + (tau + 1.0 - cur_ts) * flow
+        prop, purged_mask = _purge(prop, cur_mask, res)
+        new_loc = jnp.where(active > 0, prop, cur_loc)
+        new_mask = jnp.where(active > 0, purged_mask, cur_mask)
+        new_ts = jnp.where(active > 0, tau + 1.0, cur_ts)
+        return (new_loc, new_ts, new_mask), (gate(new_loc), new_mask)
+
+    def bw_step(carry, inp):
+        tau, fmap = inp
+        cur_loc, cur_ts, cur_mask = carry
+        active = (t_idx >= tau).astype(cur_loc.dtype)
+        flow = _sample_all(fmap, cur_loc)
+        prop = cur_loc + (tau - cur_ts) * flow
+        prop, purged_mask = _purge(prop, cur_mask, res)
+        new_loc = jnp.where(active > 0, prop, cur_loc)
+        new_mask = jnp.where(active > 0, purged_mask, cur_mask)
+        new_ts = jnp.where(active > 0, tau, cur_ts)
+        return (new_loc, new_ts, new_mask), (gate(new_loc), new_mask)
+
+    taus = jnp.arange(p, dtype=event_ts.dtype)
+    init = (event_loc, event_ts, pol_mask)
+
+    fw_step = jax.checkpoint(fw_step)
+    bw_step = jax.checkpoint(bw_step)
+
+    _, (fw_loc, fw_mask) = jax.lax.scan(fw_step, init, (taus, flow_maps))
+    _, (bw_loc, bw_mask) = jax.lax.scan(
+        bw_step, init, (taus, flow_maps), reverse=True
+    )
+    # fw_loc[τ] records tref = τ+1 (valid for t ≤ τ, i.e. t < tref);
+    # bw_loc[τ] records tref = τ   (valid for t ≥ τ, i.e. t ≥ tref).
+    tsel = jnp.arange(p).reshape(p, 1, 1, 1)
+    table_loc = [bw_loc[0]]
+    table_mask = [bw_mask[0]]
+    for tref in range(1, p):
+        sel = tsel < tref
+        table_loc.append(jnp.where(sel, fw_loc[tref - 1], bw_loc[tref]))
+        table_mask.append(jnp.where(sel, fw_mask[tref - 1], bw_mask[tref]))
+    table_loc.append(fw_loc[p - 1])
+    table_mask.append(fw_mask[p - 1])
+    return jnp.stack(table_loc), jnp.stack(table_mask)
+
+
+def iterative_loss(flows, event_list, pol_mask, grad_mask, cfg: LossConfig):
+    """Full Iterative contrast-max training loss
+    (reference ``loss/flow.py:588-746``).
+
+    :param flows: ``[P, S, B, H, W, 2]`` multi-scale flow sequence (already
+        upsampled to full res and flow_scaling-scaled).
+    :param event_list: ``[P, B, N, 4]`` events ``(ts, y, x, p)``, ts in
+        ``[0, 1]`` per window; zero-padded.
+    :param pol_mask: ``[P, B, N, 2]``.
+    :param grad_mask: ``[P, B, N, 1]`` (1 = gradient-path event). The
+        reference's grad/no-grad split (``dataloader/base.py:347-377``).
+    :return: scalar loss.
+    """
+    p, s_scales = flows.shape[0], flows.shape[1]
+    assert p == cfg.passes_loss, (p, cfg.passes_loss)
+
+    pass_ids = jnp.arange(p, dtype=event_list.dtype).reshape(p, 1, 1, 1)
+    ts = global_ts(event_list[..., 0:1], pass_ids, cfg.round_ts)
+    loc = event_list[..., 1:3]
+
+    loss = 0.0
+    for i in range(s_scales):
+        tbl_loc, tbl_mask = warp_table(
+            flows[:, i], loc, ts, pol_mask, cfg.res, grad_mask=grad_mask
+        )
+
+        for s, scale in enumerate(cfg.passes_list):
+            delta = cfg.delta_passes[s]
+            loss_update = 0.0
+            for w in range(2**s):
+                low_pass = w * scale
+                high_pass = (w + 1) * scale
+                low_tref = low_pass
+                high_tref = high_pass + 1
+                if cfg.iterative_mode == "four":
+                    low_tref = low_pass + delta
+                    high_tref = low_pass + 3 * delta + 1
+
+                if cfg.border_compensation:
+                    # events leaving the frame at ANY tref of the window are
+                    # excluded everywhere (reference ``loss/flow.py:671-681``)
+                    shared_mask = jnp.prod(
+                        tbl_mask[low_tref:high_tref], axis=0
+                    )  # [P, B, N, 2]
+
+                for tref in range(low_tref, high_tref):
+                    low_ext = max(low_pass, tref - delta)
+                    high_ext = min(high_pass, tref + delta)
+                    k = high_ext - low_ext
+
+                    wl = tbl_loc[tref, low_ext:high_ext]  # [K, B, N, 2]
+                    if cfg.border_compensation:
+                        wm = shared_mask[low_ext:high_ext]
+                    else:
+                        wm = tbl_mask[tref, low_ext:high_ext]
+                    wts = ts[low_ext:high_ext]
+
+                    b, n = wl.shape[1], wl.shape[2]
+
+                    def flat(x):
+                        return jnp.transpose(x, (1, 0, 2, 3)).reshape(
+                            b, k * n, x.shape[-1]
+                        )
+
+                    norm_ts = 1.0 - jnp.abs(tref - flat(wts)) / delta
+                    iwe, iwe_ts = iwe_with_ts(
+                        flat(wl), flat(wm), norm_ts, cfg.res
+                    )
+                    iwe_ts_norm = iwe_ts / (iwe + 1e-9)
+                    loss_update = loss_update + focus_loss(
+                        iwe, iwe_ts_norm, cfg.loss_scaling
+                    )
+
+            loss_update = loss_update / (2**s)
+            loss_update = loss_update / (2 * delta + 1)
+            loss = loss + loss_update
+
+    loss = loss / cfg.scales_loss
+    loss = loss / s_scales
+
+    flow_seq = [jnp.transpose(flows[:, i], (1, 0, 2, 3, 4)) for i in range(s_scales)]
+    if cfg.flow_spat_smooth_weight is not None:
+        loss = loss + flow_spatial_smoothing(flow_seq, cfg.flow_spat_smooth_weight)
+    if cfg.flow_temp_smooth_weight is not None and p > 1:
+        loss = loss + flow_temporal_smoothing(
+            flow_seq, cfg.res, cfg.flow_temp_smooth_weight
+        )
+    return loss
