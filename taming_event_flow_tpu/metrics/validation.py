@@ -1,0 +1,513 @@
+"""Validation metrics: FWL / RSAT / AEE and the incremental warp state.
+
+Functional TPU-native counterpart of the reference validation classes
+(reference ``loss/flow_val.py:12-694``). The reference accumulates
+variable-length event/flow buffers by concatenation; here the state is a
+fixed-shape pytree with one *slot per pass* (``[P, ...]`` leading axis) so
+``update`` jits once and never recompiles. Empty slots carry zero polarity
+masks / zero flow maps and therefore drop out of every splat and average
+exactly like absent data.
+
+All update math runs on device; metric reducers return scalars.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import (
+    event_propagation,
+    get_event_flow,
+    get_interpolation,
+    interpolate,
+    iwe_from_events,
+)
+
+
+class ValConfig(NamedTuple):
+    res: Tuple[int, int]
+    passes: int
+    round_ts: bool = False
+
+
+def _purge(loc, mask, res):
+    inside = (
+        (loc[..., 0:1] >= 0)
+        & (loc[..., 0:1] <= res[0] - 1.0)
+        & (loc[..., 1:2] >= 0)
+        & (loc[..., 1:2] <= res[1] - 1.0)
+    ).astype(loc.dtype)
+    return loc * inside, mask * inside
+
+
+def _grid(res, dtype=jnp.float32):
+    yy, xx = jnp.meshgrid(
+        jnp.arange(res[0], dtype=dtype),
+        jnp.arange(res[1], dtype=dtype),
+        indexing="ij",
+    )
+    return jnp.stack([yy, xx], axis=-1).reshape(1, -1, 2)  # [1, HW, 2] (y, x)
+
+
+def forward_prop_flow_once(flow_map, res, dt: float = 1.0):
+    """Push a flow map ``dt`` steps forward along itself (bilinear splat).
+
+    Reference ``loss/flow_val.py:43-74`` (one linear warp of the pixel grid
+    by ``(tref - i) * flow`` followed by a weight-normalized splat).
+
+    :param flow_map: ``[B, H, W, 2]`` (x, y).
+    :return: ``[B, H, W, 2]`` forward-propagated flow map.
+    """
+    b = flow_map.shape[0]
+    grid = jnp.broadcast_to(_grid(res, flow_map.dtype), (b, res[0] * res[1], 2))
+    ones = jnp.ones((b, res[0] * res[1], 1), flow_map.dtype)
+
+    flow_at = get_event_flow(flow_map, grid)  # [B, HW, 2] (y, x)
+    warped = grid + dt * flow_at
+    warped, mask = _purge(warped, ones, res)
+
+    idx, w = get_interpolation(warped, res)
+    mask4 = jnp.concatenate([mask] * 4, axis=1)
+    flow4 = jnp.concatenate([flow_at] * 4, axis=1)
+    wsum = interpolate(idx, w, res, polarity_mask=mask4)
+    wy = interpolate(idx, w * flow4[..., 0:1], res, polarity_mask=mask4)
+    wx = interpolate(idx, w * flow4[..., 1:2], res, polarity_mask=mask4)
+    wy = wy / (wsum + 1e-9)
+    wx = wx / (wsum + 1e-9)
+    return jnp.concatenate([wx, wy], axis=-1)  # back to (x, y) channels
+
+
+class ValState(NamedTuple):
+    """Slot-per-pass validation state (shapes static in P, B, N, H, W)."""
+
+    pass_idx: jnp.ndarray  # int32 scalar
+    event_ts: jnp.ndarray  # [P, B, N, 1] global-timeline ts
+    event_loc: jnp.ndarray  # [P, B, N, 2] original (y, x)
+    pol_mask: jnp.ndarray  # [P, B, N, 2]
+    flow_maps: jnp.ndarray  # [P, B, H, W, 2] finest-scale flow per pass
+    event_mask_maps: jnp.ndarray  # [P, B, H, W, 1]
+    fw_loc: jnp.ndarray  # [P, B, N, 2] incrementally fw-warped events
+    fw_ts: jnp.ndarray  # [P, B, N, 1]
+    fw_mask: jnp.ndarray  # [P, B, N, 2]
+    bw_loc: jnp.ndarray  # [P, B, N, 2] events bw-warped to t = 0
+    bw_mask: jnp.ndarray  # [P, B, N, 2]
+    fw_prop_flow: jnp.ndarray  # [P, B, H, W, 2]
+    accum_flow: jnp.ndarray  # [B, H, W, 2] accumulated bw flow (x, y)
+    warp_indices: jnp.ndarray  # [B, H, W, 2] iterated warp grid (y, x)
+    out_mask: jnp.ndarray  # [B, H, W, 1] valid-pass counter
+
+
+class IterativeValidation:
+    """Iterative validation scheme (reference ``loss/flow_val.py:419-694``).
+
+    Usage::
+
+        val = IterativeValidation(cfg, batch, n_events)
+        state = val.init()                      # == reference reset()
+        state = val.update(state, flow, events, pol_mask, event_mask)
+        rsat, fwl = val.rsat(state), val.fwl(state)
+
+    ``update`` is a pure function — jit it once and reuse.
+    """
+
+    def __init__(self, cfg: ValConfig, batch: int, n_events: int):
+        self.cfg = cfg
+        self.batch = batch
+        self.n_events = n_events
+
+    def init(self) -> ValState:
+        p, b, n = self.cfg.passes, self.batch, self.n_events
+        h, w = self.cfg.res
+        f32 = jnp.float32
+        grid_map = _grid(self.cfg.res).reshape(1, h, w, 2)
+        return ValState(
+            pass_idx=jnp.zeros((), jnp.int32),
+            event_ts=jnp.zeros((p, b, n, 1), f32),
+            event_loc=jnp.zeros((p, b, n, 2), f32),
+            pol_mask=jnp.zeros((p, b, n, 2), f32),
+            flow_maps=jnp.zeros((p, b, h, w, 2), f32),
+            event_mask_maps=jnp.zeros((p, b, h, w, 1), f32),
+            fw_loc=jnp.zeros((p, b, n, 2), f32),
+            fw_ts=jnp.zeros((p, b, n, 1), f32),
+            fw_mask=jnp.zeros((p, b, n, 2), f32),
+            bw_loc=jnp.zeros((p, b, n, 2), f32),
+            bw_mask=jnp.zeros((p, b, n, 2), f32),
+            fw_prop_flow=jnp.zeros((p, b, h, w, 2), f32),
+            accum_flow=jnp.zeros((b, h, w, 2), f32),
+            warp_indices=jnp.broadcast_to(grid_map, (b, h, w, 2)).astype(f32),
+            out_mask=jnp.zeros((b, h, w, 1), f32),
+        )
+
+    def update(self, state: ValState, flow, event_list, pol_mask,
+               event_mask) -> ValState:
+        """Ingest one pass (reference ``loss/flow_val.py:477-607``).
+
+        :param flow: ``[B, H, W, 2]`` finest-scale flow (flow_scaling'd).
+        :param event_list: ``[B, N, 4]`` events ``(ts, y, x, p)``, ts in [0,1].
+        :param pol_mask: ``[B, N, 2]``.
+        :param event_mask: ``[B, H, W, 1]`` binary event-presence mask.
+        """
+        cfg = self.cfg
+        res = cfg.res
+        p_cur = state.pass_idx
+        pf = p_cur.astype(jnp.float32)
+
+        ts = event_list[..., 0:1] + pf
+        if cfg.round_ts:
+            ts = jnp.broadcast_to(jnp.min(ts) + 0.5, ts.shape)
+        loc = event_list[..., 1:3]
+
+        def put(buf, val):
+            return jax.lax.dynamic_update_index_in_dim(buf, val, p_cur, 0)
+
+        state = state._replace(
+            event_ts=put(state.event_ts, ts),
+            event_loc=put(state.event_loc, loc),
+            pol_mask=put(state.pol_mask, pol_mask),
+            flow_maps=put(state.flow_maps, flow),
+            event_mask_maps=put(state.event_mask_maps, event_mask),
+            fw_loc=put(state.fw_loc, loc),
+            fw_ts=put(state.fw_ts, ts),
+            fw_mask=put(state.fw_mask, pol_mask),
+        )
+
+        p_ax = jnp.arange(cfg.passes).reshape(-1, 1, 1, 1)
+
+        # --- incremental forward warping of every stored window to p+1
+        # (reference flow_val.py:489-517)
+        active = (p_ax <= p_cur).astype(jnp.float32)
+        pp, bb, nn, _ = state.fw_loc.shape
+        fw_flat = jnp.transpose(state.fw_loc, (1, 0, 2, 3)).reshape(bb, pp * nn, 2)
+        fw_flow = get_event_flow(flow, fw_flat)
+        fw_flow = jnp.transpose(fw_flow.reshape(bb, pp, nn, 2), (1, 0, 2, 3))
+        prop = state.fw_loc + (pf + 1.0 - state.fw_ts) * fw_flow
+        prop, purged = _purge(prop, state.fw_mask, res)
+        state = state._replace(
+            fw_loc=jnp.where(active > 0, prop, state.fw_loc),
+            fw_mask=jnp.where(active > 0, purged, state.fw_mask),
+            fw_ts=jnp.where(active > 0, pf + 1.0, state.fw_ts),
+        )
+
+        # --- backward warping of THIS window to t=0 through all stored maps
+        # (reference flow_val.py:519-556)
+        def bw_step(carry, tau):
+            bl, bts = carry
+            act = (tau <= p_cur).astype(jnp.float32)
+            fmap = state.flow_maps[tau]
+            bflow = get_event_flow(fmap, bl[0])
+            tau_f = tau.astype(jnp.float32)
+            nl = bl[0] + (tau_f - bts[0]) * bflow
+            inside = (
+                (nl[..., 0:1] >= 0)
+                & (nl[..., 0:1] <= res[0] - 1.0)
+                & (nl[..., 1:2] >= 0)
+                & (nl[..., 1:2] <= res[1] - 1.0)
+            ).astype(jnp.float32)
+            nl = nl * inside
+            nm = bl[1] * inside
+            new_loc = jnp.where(act > 0, nl, bl[0])
+            new_mask = jnp.where(act > 0, nm, bl[1])
+            new_ts = jnp.where(act > 0, tau_f, bts[0])
+            return ((new_loc, new_mask), (new_ts,)), None
+
+        (bw_final, _), _ = jax.lax.scan(
+            lambda c, t: bw_step(c, t),
+            ((loc, pol_mask), (ts,)),
+            jnp.arange(cfg.passes, dtype=jnp.int32),
+            reverse=True,
+        )
+        bw_loc_new, bw_mask_new = bw_final
+        state = state._replace(
+            bw_loc=put(state.bw_loc, bw_loc_new),
+            bw_mask=put(state.bw_mask, bw_mask_new),
+        )
+
+        # --- forward-propagated flow maps: every older slot advances one
+        # step along itself (reference flow_val.py:558-576)
+        fw_prop = put(state.fw_prop_flow, flow)
+        prop_maps = jax.vmap(lambda m: forward_prop_flow_once(m, res))(
+            fw_prop
+        )
+        sel = (p_ax < p_cur).reshape(-1, 1, 1, 1, 1) > 0
+        fw_prop = jnp.where(sel, prop_maps, fw_prop)
+        state = state._replace(fw_prop_flow=fw_prop)
+
+        # --- accumulated backward flow via iterated grid warping
+        # (reference flow_val.py:578-604)
+        b = flow.shape[0]
+        h, w = res
+        indices = state.warp_indices  # [B, H, W, 2] (y, x)
+        mask_valid = (
+            (indices[..., 0:1] >= 0)
+            & (indices[..., 0:1] <= h - 1.0)
+            & (indices[..., 1:2] >= 0)
+            & (indices[..., 1:2] <= w - 1.0)
+        ).astype(jnp.float32)
+        out_mask = state.out_mask + mask_valid
+
+        curr = get_event_flow(flow, indices.reshape(b, -1, 2))  # [B,HW,2] (y,x)
+        curr = curr.reshape(b, h, w, 2)
+        warped_idx = indices + curr * mask_valid
+        grid_map = _grid(res).reshape(1, h, w, 2)
+        accum = jnp.stack(
+            [
+                warped_idx[..., 1] - grid_map[..., 1],  # x displacement
+                warped_idx[..., 0] - grid_map[..., 0],  # y displacement
+            ],
+            axis=-1,
+        )
+        state = state._replace(
+            accum_flow=accum,
+            warp_indices=warped_idx,
+            out_mask=out_mask,
+            pass_idx=p_cur + 1,
+        )
+        return state
+
+    # ---------------- window accessors (reference flow_val.py:630-678) ----
+
+    def _flat_events(self, loc, mask):
+        p, b, n, _ = loc.shape
+        return (
+            jnp.transpose(loc, (1, 0, 2, 3)).reshape(b, p * n, 2),
+            jnp.transpose(mask, (1, 0, 2, 3)).reshape(b, p * n, 2),
+        )
+
+    def window_events(self, state: ValState, round_idx: bool = False):
+        loc, mask = self._flat_events(state.event_loc, state.pol_mask)
+        return iwe_from_events(loc, mask, self.cfg.res, round_idx=round_idx)
+
+    def window_iwe(self, state: ValState, mode: str = "forward",
+                   round_idx: bool = False):
+        if mode == "forward":
+            loc, mask = self._flat_events(state.fw_loc, state.fw_mask)
+        elif mode == "backward":
+            loc, mask = self._flat_events(state.bw_loc, state.bw_mask)
+        else:
+            raise ValueError(f"Invalid IWE mode: {mode}")
+        return iwe_from_events(loc, mask, self.cfg.res, round_idx=round_idx)
+
+    def window_flow(self, state: ValState, mode: Optional[str] = None,
+                    mask: bool = False):
+        """Per-pixel average flow over the window
+        (reference ``loss/flow_val.py:145-169, 638-653``)."""
+        if mode == "forward":
+            maps = state.fw_prop_flow
+        elif mode == "backward":
+            maps = (state.accum_flow / (state.out_mask + 1e-9))[None]
+        else:
+            maps = state.flow_maps
+
+        nonzero = ((maps[..., 0:1] != 0) | (maps[..., 1:2] != 0)).astype(
+            maps.dtype
+        )
+        avg = jnp.sum(maps, axis=0)
+        cnt = jnp.sum(nonzero, axis=0)
+        out = avg / (cnt + 1e-9)
+        if mask:
+            m = (jnp.sum(state.event_mask_maps, axis=0) > 0).astype(out.dtype)
+            out = out * m
+        return out
+
+    # ---------------- metrics ------------------------------------------
+
+    def rsat(self, state: ValState):
+        num_passes = jnp.maximum(state.pass_idx.astype(jnp.float32), 1.0)
+        return compute_rsat(
+            self._flat_events(state.fw_loc, state.fw_mask)[0],
+            self._flat_events(state.event_loc, state.pol_mask)[0],
+            self._flat_events(state.fw_loc, state.fw_mask)[1],
+            self._flat_events(state.event_loc, state.pol_mask)[1],
+            jnp.transpose(state.event_ts, (1, 0, 2, 3)).reshape(
+                state.event_ts.shape[1], -1, 1
+            ),
+            num_passes,
+            self.cfg.res,
+        )
+
+    def fwl(self, state: ValState):
+        return compute_fwl(
+            self._flat_events(state.fw_loc, state.fw_mask)[0],
+            self._flat_events(state.event_loc, state.pol_mask)[0],
+            self._flat_events(state.fw_loc, state.fw_mask)[1],
+            self._flat_events(state.event_loc, state.pol_mask)[1],
+            self.cfg.res,
+        )
+
+
+class LinearValidation(IterativeValidation):
+    """Linear validation scheme (reference ``loss/flow_val.py:317-416``).
+
+    Events sample their arrival pass's flow once; the forward warp to
+    ``t = P`` happens lazily in the metric reducers. Reuses the slot state;
+    ``fw_loc`` stores per-event *flow* instead of warped locations.
+    """
+
+    def update(self, state: ValState, flow, event_list, pol_mask,
+               event_mask) -> ValState:
+        cfg = self.cfg
+        p_cur = state.pass_idx
+        pf = p_cur.astype(jnp.float32)
+        ts = event_list[..., 0:1] + pf
+        if cfg.round_ts:
+            ts = jnp.broadcast_to(jnp.min(ts) + 0.5, ts.shape)
+        loc = event_list[..., 1:3]
+
+        def put(buf, val):
+            return jax.lax.dynamic_update_index_in_dim(buf, val, p_cur, 0)
+
+        event_flow = get_event_flow(flow, loc)
+        return state._replace(
+            event_ts=put(state.event_ts, ts),
+            event_loc=put(state.event_loc, loc),
+            pol_mask=put(state.pol_mask, pol_mask),
+            flow_maps=put(state.flow_maps, flow),
+            event_mask_maps=put(state.event_mask_maps, event_mask),
+            fw_loc=put(state.fw_loc, event_flow),  # per-event flow
+            pass_idx=p_cur + 1,
+        )
+
+    def _fw_events(self, state):
+        ts, _ = (
+            jnp.transpose(state.event_ts, (1, 0, 2, 3)).reshape(
+                state.event_ts.shape[1], -1, 1
+            ),
+            None,
+        )
+        loc, mask = self._flat_events(state.event_loc, state.pol_mask)
+        flow, _ = self._flat_events(state.fw_loc, state.fw_mask)
+        tref = state.pass_idx.astype(jnp.float32)
+        return event_propagation(ts, loc, flow, tref), loc, mask
+
+    def window_iwe(self, state: ValState, mode: str = "forward",
+                   round_idx: bool = False):
+        fw, _, mask = self._fw_events(state)
+        return iwe_from_events(fw, mask, self.cfg.res, round_idx=round_idx)
+
+    def window_flow(self, state: ValState, mode: Optional[str] = None,
+                    mask: bool = False):
+        # forward-propagate every older map to the latest pass with ONE
+        # long-range warp of dt = (latest - t) (reference flow_val.py:369-391)
+        p = self.cfg.passes
+        latest = (state.pass_idx - 1).astype(jnp.float32)
+
+        def prop_to_latest(m, t):
+            dt = jnp.maximum(latest - t, 0.0)
+            warped = forward_prop_flow_once(m, self.cfg.res, dt)
+            return jnp.where(t < latest, warped, m)
+
+        maps = jnp.stack(
+            [prop_to_latest(state.flow_maps[t], float(t)) for t in range(p)],
+            axis=0,
+        )
+        nonzero = ((maps[..., 0:1] != 0) | (maps[..., 1:2] != 0)).astype(
+            maps.dtype
+        )
+        out = jnp.sum(maps, axis=0) / (jnp.sum(nonzero, axis=0) + 1e-9)
+        if mask:
+            m = (jnp.sum(state.event_mask_maps, axis=0) > 0).astype(out.dtype)
+            out = out * m
+        return out
+
+    def rsat(self, state: ValState):
+        fw, loc, mask = self._fw_events(state)
+        ts = jnp.transpose(state.event_ts, (1, 0, 2, 3)).reshape(
+            state.event_ts.shape[1], -1, 1
+        )
+        num_passes = jnp.maximum(state.pass_idx.astype(jnp.float32), 1.0)
+        _, pol = self._flat_events(state.event_loc, state.pol_mask)
+        return compute_rsat(fw, loc, pol, pol, ts, num_passes, self.cfg.res)
+
+    def fwl(self, state: ValState):
+        fw, loc, mask = self._fw_events(state)
+        _, pol = self._flat_events(state.event_loc, state.pol_mask)
+        return compute_fwl(fw, loc, pol, pol, self.cfg.res)
+
+
+def _ts_image_sums(events, pol_mask, ts, res):
+    """Per-polarity count + avg-ts images for RSAT (round_idx=True splat)."""
+    idx, w = get_interpolation(events, res, round_idx=True)
+    pos = interpolate(idx, w, res, polarity_mask=pol_mask[:, :, 0:1])
+    neg = interpolate(idx, w, res, polarity_mask=pol_mask[:, :, 1:2])
+    pos_ts = interpolate(idx, w * ts, res, polarity_mask=pol_mask[:, :, 0:1])
+    neg_ts = interpolate(idx, w * ts, res, polarity_mask=pol_mask[:, :, 1:2])
+    return pos, neg, pos_ts, neg_ts
+
+
+def compute_fwl(fw_events, zero_events, fw_pol, zero_pol, res):
+    """Flow Warp Loss: var(IWE) / var(zero-warp IWE)
+    (reference ``loss/flow_val.py:189-212``)."""
+    fw_idx, fw_w = get_interpolation(fw_events, res, round_idx=True)
+    fw_iwe = interpolate(fw_idx, fw_w, res, polarity_mask=fw_pol[:, :, 0:1])
+    fw_iwe = fw_iwe + interpolate(
+        fw_idx, fw_w, res, polarity_mask=fw_pol[:, :, 1:2]
+    )
+    z_idx, z_w = get_interpolation(zero_events, res, round_idx=True)
+    z_iwe = interpolate(z_idx, z_w, res, polarity_mask=zero_pol[:, :, 0:1])
+    z_iwe = z_iwe + interpolate(
+        z_idx, z_w, res, polarity_mask=zero_pol[:, :, 1:2]
+    )
+    return jnp.var(fw_iwe) / jnp.var(z_iwe)
+
+
+def compute_rsat(fw_events, zero_events, fw_pol, zero_pol, ts, num_passes,
+                 res):
+    """Ratio of Squared Averaged Timestamps
+    (reference ``loss/flow_val.py:214-274``)."""
+
+    def ts_sum(events, pol):
+        pos, neg, pos_ts, neg_ts = _ts_image_sums(events, pol, ts, res)
+        pos_ts = pos_ts / (pos + 1e-9) / num_passes
+        neg_ts = neg_ts / (neg + 1e-9) / num_passes
+        b = pos_ts.shape[0]
+        s = jnp.sum(pos_ts.reshape(b, -1) ** 2, axis=1) + jnp.sum(
+            neg_ts.reshape(b, -1) ** 2, axis=1
+        )
+        nonzero = ((pos + neg) > 0).reshape(b, -1)
+        return s / jnp.sum(nonzero, axis=1)
+
+    return ts_sum(fw_events, fw_pol) / ts_sum(zero_events, zero_pol)
+
+
+def compute_aee(pred, gt, event_mask=None, res_aee=None,
+                vertical_crop_aee=None):
+    """Average endpoint error with the reference's masking protocol
+    (reference ``loss/flow_val.py:276-314``).
+
+    :param pred: ``[B, H, W, 2]`` predicted displacement (x, y).
+    :param gt: ``[B, H, W, 2]`` ground-truth displacement.
+    :param event_mask: optional ``[B, H, W, C]``; pixels without events are
+        excluded (MVSEC protocol).
+    :param res_aee: optional (h, w) center-crop.
+    :param vertical_crop_aee: optional row cutoff.
+    :return: scalar AEE over valid pixels.
+    """
+    error = jnp.sqrt(jnp.sum((pred - gt) ** 2, axis=-1))  # [B, H, W]
+    valid = ~((gt[..., 0] == 0.0) & (gt[..., 1] == 0.0))
+
+    if event_mask is not None:
+        m = jnp.sum(event_mask, axis=-1) > 0
+        h, w = pred.shape[1], pred.shape[2]
+        if res_aee is not None:
+            yoff = (h - res_aee[0]) // 2
+            xoff = (w - res_aee[1]) // 2
+            m = m[:, yoff : h - yoff, xoff : w - xoff]
+            error = error[:, yoff : h - yoff, xoff : w - xoff]
+            valid = valid[:, yoff : h - yoff, xoff : w - xoff]
+        if vertical_crop_aee is not None:
+            m = m[:, :vertical_crop_aee, :]
+            error = error[:, :vertical_crop_aee, :]
+            valid = valid[:, :vertical_crop_aee, :]
+        valid = valid & m
+
+    vf = valid.astype(error.dtype)
+    return jnp.sum(error * vf) / (jnp.sum(vf) + 1e-9)
+
+
+METRIC_REGISTRY = {
+    "Iterative": IterativeValidation,
+    "Linear": LinearValidation,
+}
