@@ -1,0 +1,275 @@
+"""Host-side data plumbing: augmentation, rectification, encodings, padding.
+
+Numpy counterpart of the reference dataloader base
+(reference ``dataloader/base.py:11-434``), re-designed around the TPU
+contract: every batch the device sees has **static shapes**. Ragged event
+windows are zero-padded to a bucketed length; padding rows carry zero
+polarity masks so they vanish from every splat (the masking story the
+reference's collate establishes at ``dataloader/base.py:416-423``).
+
+Instead of the reference's two ragged grad/detached event lists
+(``dataloader/base.py:347-377``) we emit ONE event tensor plus a
+``grad_mask`` column — the loss applies per-event stop-gradient, which is
+numerically identical and halves the device-side warp work.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+try:  # cv2 is used for DSEC rectification-map generation + remap only
+    import cv2
+except Exception:  # pragma: no cover
+    cv2 = None
+
+
+# ------------------------------------------------------------------ encodings
+# numpy twins of ops/encodings.py (device versions) for the host loader
+
+
+def events_to_image_np(xs, ys, ps, res):
+    img = np.zeros(res, np.float32)
+    np.add.at(img, (ys.astype(np.int64), xs.astype(np.int64)), ps)
+    return img
+
+
+def events_to_channels_np(xs, ys, ps, res):
+    """[H, W, 2] per-polarity counts (reference ``encodings.py:59-81``)."""
+    pos = events_to_image_np(xs, ys, np.where(ps > 0, ps, 0.0), res)
+    neg = events_to_image_np(xs, ys, np.where(ps < 0, -ps, 0.0), res)
+    return np.stack([pos, neg], axis=-1)
+
+
+def events_to_voxel_np(xs, ys, ts, ps, num_bins, res):
+    """[H, W, B] bilinear-in-time voxel grid (reference ``encodings.py:32-56``)."""
+    tb = ts * (num_bins - 1)
+    bins = []
+    for b in range(num_bins):
+        w = np.maximum(0.0, 1.0 - np.abs(tb - b))
+        bins.append(events_to_image_np(xs, ys, ps * w, res))
+    return np.stack(bins, axis=-1)
+
+
+# ------------------------------------------------------------------ padding
+
+
+_BUCKETS = [256, 512, 1024, 2048, 4096, 8192, 16384, 32768, 65536, 131072,
+            262144, 524288, 1048576, 2097152, 4194304]
+
+
+def bucket_size(n: int, fixed: Optional[int] = None) -> int:
+    """Static event-axis length: fixed cap or next power-of-two bucket.
+
+    Bucketing bounds the number of distinct shapes XLA compiles for.
+    """
+    if fixed is not None:
+        return fixed
+    for b in _BUCKETS:
+        if n <= b:
+            return b
+    return int(2 ** math.ceil(math.log2(max(n, 1))))
+
+
+def pad_events(arr: np.ndarray, n: int) -> np.ndarray:
+    """Zero-pad ``[k, C]`` event rows to ``[n, C]`` (truncates if k > n)."""
+    k = arr.shape[0]
+    if k >= n:
+        return arr[:n]
+    out = np.zeros((n,) + arr.shape[1:], arr.dtype)
+    out[:k] = arr
+    return out
+
+
+# ------------------------------------------------------------------ loader
+
+
+class BaseStreamLoader:
+    """Per-lane streaming loader base: augmentation + sample assembly.
+
+    A "lane" is one independent sequential file stream; a batch stacks one
+    window from each lane (the reference simulates this with dataset state +
+    ``index % batch_size``, ``dataloader/h5.py:53-55,268-270``).
+    """
+
+    def __init__(self, config: Dict):
+        self.config = config
+        self.epoch = 0
+        self.seq_num = 0
+        self.samples = 0
+        self.rectify = False
+        self.res: Tuple[int, int] = tuple(config["loader"]["resolution"])
+        self.batch_size: int = config["loader"]["batch_size"]
+        self.augment: Sequence[str] = config["loader"].get("augment", [])
+        self.augment_prob: Sequence[float] = config["loader"].get(
+            "augment_prob", []
+        )
+        self.voxel_bins = config["data"].get("voxel", None)
+        self.max_grad_events = config["loader"].get("max_num_grad_events")
+        self.fixed_n = config["loader"].get("n_events_pad")
+        self.rng = np.random.default_rng(config["loader"].get("seed"))
+
+        # per-lane augmentation flags, re-rolled per sequence
+        self.batch_augmentation: Dict[str, List[bool]] = {
+            m: [False] * self.batch_size for m in self.augment
+        }
+        for i, m in enumerate(self.augment):
+            for lane in range(self.batch_size):
+                self.batch_augmentation[m][lane] = (
+                    self.rng.random() < self.augment_prob[i]
+                )
+
+    def reroll_augmentation(self, lane: int):
+        """Re-roll augmentation flags on sequence change
+        (reference ``dataloader/base.py:45-58``)."""
+        self.seq_num += 1
+        for i, m in enumerate(self.augment):
+            self.batch_augmentation[m][lane] = (
+                self.rng.random() < self.augment_prob[i]
+            )
+
+    # ------------------------------------------------------------- events
+
+    def format_events(self, xs, ys, ts, ps):
+        """float32 arrays; polarity to ±1; ts normalized to [0, 1]
+        (reference ``dataloader/base.py:147-171``)."""
+        xs = xs.astype(np.float32)
+        ys = ys.astype(np.float32)
+        ts = ts.astype(np.float32)
+        ps = ps.astype(np.float32) * 2 - 1
+        if ts.shape[0] > 0:
+            denom = ts[-1] - ts[0]
+            ts = (ts - ts[0]) / (denom if denom != 0 else 1.0)
+        return xs, ys, ts, ps
+
+    @staticmethod
+    def rectify_events(rectify_map, xs, ys):
+        """Per-event rectified coordinates via the file's lookup map
+        (reference ``dataloader/base.py:173-188``)."""
+        rect = rectify_map[ys.astype(np.int64), xs.astype(np.int64)]
+        return rect[:, 0].astype(np.float32), rect[:, 1].astype(np.float32)
+
+    def augment_events(self, xs, ys, ps, rec_xs, rec_ys, lane):
+        """Horizontal/Vertical/Polarity flips (reference ``base.py:190-224``)."""
+        h, w = self.res
+        for m in self.augment:
+            if m == "Horizontal" and self.batch_augmentation["Horizontal"][lane]:
+                xs = w - 1 - xs
+                if rec_xs is not None:
+                    rec_xs = w - 1 - rec_xs
+            elif m == "Vertical" and self.batch_augmentation["Vertical"][lane]:
+                ys = h - 1 - ys
+                if rec_ys is not None:
+                    rec_ys = h - 1 - rec_ys
+            elif m == "Polarity" and self.batch_augmentation["Polarity"][lane]:
+                ps = -ps
+        return xs, ys, ps, rec_xs, rec_ys
+
+    def augment_gt(self, gt: Dict[str, np.ndarray], lane: int):
+        """Flip GT maps; flow components change sign accordingly
+        (reference ``base.py:226-249``). GT maps here are HWC."""
+        for m in self.augment:
+            if m == "Horizontal" and self.batch_augmentation["Horizontal"][lane]:
+                for key in gt:
+                    if gt[key].ndim < 2:
+                        continue
+                    gt[key] = np.flip(gt[key], axis=1).copy()
+                    if key == "gtflow":
+                        gt[key][..., 0] *= -1
+            elif m == "Vertical" and self.batch_augmentation["Vertical"][lane]:
+                for key in gt:
+                    if gt[key].ndim < 2:
+                        continue
+                    gt[key] = np.flip(gt[key], axis=0).copy()
+                    if key == "gtflow":
+                        gt[key][..., 1] *= -1
+        return gt
+
+    # -------------------------------------------------------- representations
+
+    def remap(self, img_hwc, mapping):
+        """Backward-rectify an image-like representation (nearest lookup,
+        reference ``base.py:290-298``)."""
+        if mapping is None:
+            return img_hwc
+        if cv2 is not None:
+            return cv2.remap(img_hwc, mapping, None, cv2.INTER_NEAREST)
+        # numpy fallback: nearest-neighbor gather
+        mx = np.clip(np.rint(mapping[..., 0]), 0, self.res[1] - 1).astype(int)
+        my = np.clip(np.rint(mapping[..., 1]), 0, self.res[0] - 1).astype(int)
+        return img_hwc[my, mx]
+
+    def assemble_sample(self, lane, xs, ys, ts, ps, rect_map, rect_mapping,
+                        gt: Dict[str, np.ndarray]):
+        """One lane window -> output dict (unpadded, HWC numpy).
+
+        Mirrors reference ``dataloader/h5.py:349-431`` minus the device
+        round-trip: everything stays numpy until the trainer ships a whole
+        padded batch to the TPU in one transfer.
+        """
+        xs, ys, ts, ps = self.format_events(xs, ys, ts, ps)
+
+        rec_xs = rec_ys = None
+        if rect_map is not None:
+            rec_xs, rec_ys = self.rectify_events(rect_map, xs, ys)
+
+        xs, ys, ps, rec_xs, rec_ys = self.augment_events(
+            xs, ys, ps, rec_xs, rec_ys, lane
+        )
+
+        lx = rec_xs if rec_xs is not None else xs
+        ly = rec_ys if rec_ys is not None else ys
+        event_list = np.stack([ts, ly, lx, ps], axis=-1)  # [N, 4]
+        pol_mask = np.stack([(ps > 0), (ps < 0)], axis=-1).astype(np.float32)
+
+        event_cnt = events_to_channels_np(xs, ys, ps, self.res)
+        event_cnt = self.remap(event_cnt, rect_mapping)
+        event_mask = (event_cnt.sum(-1, keepdims=True) > 0).astype(np.float32)
+
+        if self.voxel_bins is not None:
+            voxel = events_to_voxel_np(xs, ys, ts, ps, self.voxel_bins, self.res)
+            net_input = self.remap(voxel, rect_mapping)
+        else:
+            net_input = event_cnt.copy()
+
+        # grad-event subsample as a mask (reference splits two ragged lists,
+        # ``base.py:347-377``)
+        n = event_list.shape[0]
+        grad_mask = np.ones((n, 1), np.float32)
+        if self.max_grad_events is not None and n > self.max_grad_events:
+            keep = self.rng.choice(n, self.max_grad_events, replace=False)
+            grad_mask[:] = 0.0
+            grad_mask[keep] = 1.0
+
+        out = {
+            "net_input": net_input.astype(np.float32),
+            "event_cnt": event_cnt.astype(np.float32),
+            "event_mask": event_mask,
+            "event_list": event_list.astype(np.float32),
+            "event_list_pol_mask": pol_mask,
+            "grad_mask": grad_mask,
+        }
+        out.update(gt)
+        return out
+
+    # ------------------------------------------------------------- collate
+
+    def collate(self, samples: List[Dict[str, np.ndarray]]):
+        """Stack lane samples into a static-shape batch
+        (reference ``dataloader/base.py:391-434``)."""
+        ragged = {"event_list", "event_list_pol_mask", "grad_mask"}
+        max_n = max(s["event_list"].shape[0] for s in samples)
+        n_pad = bucket_size(max_n, self.fixed_n)
+        batch = {}
+        for key in samples[0]:
+            items = []
+            for s in samples:
+                v = s[key]
+                if key in ragged:
+                    v = pad_events(v, n_pad)
+                items.append(v)
+            batch[key] = np.stack(items)
+        return batch

@@ -1,0 +1,65 @@
+"""Synthetic HDF5 sequence writer (test fixture / smoke-train data).
+
+Writes files with the reference's H5 schema (see ``data/h5.py`` module doc;
+reference schema at ``dataloader/h5.py:127-162, 20-34``).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import h5py
+import numpy as np
+
+
+def write_synthetic_h5(
+    path: str,
+    n_events: int = 4000,
+    res: Tuple[int, int] = (32, 40),
+    duration: float = 2.0,
+    t_start: float = 100.0,
+    n_flow_frames: int = 0,
+    seed: int = 0,
+    flow_magnitude: float = 2.0,
+    gt_gap_after: Optional[int] = None,
+):
+    """Create one synthetic event sequence.
+
+    :param n_flow_frames: if > 0, adds ``flow/<i>`` GT maps with
+        ``timestamp_from/to`` attrs evenly tiling the duration.
+    :param gt_gap_after: if set, inserts a temporal gap in the events after
+        this fraction of the duration (exercises ``ts_jump`` detection).
+    """
+    rng = np.random.default_rng(seed)
+    ts = np.sort(rng.uniform(0, duration, n_events)) + t_start
+    if gt_gap_after is not None:
+        gap_t = t_start + duration * gt_gap_after
+        ts = np.where(ts > gap_t, ts + duration, ts)
+    xs = rng.integers(0, res[1], n_events).astype(np.uint16)
+    ys = rng.integers(0, res[0], n_events).astype(np.uint16)
+    ps = rng.integers(0, 2, n_events).astype(np.uint8)
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with h5py.File(path, "w") as f:
+        f.create_dataset("events/xs", data=xs)
+        f.create_dataset("events/ys", data=ys)
+        f.create_dataset("events/ts", data=ts.astype(np.float64))
+        f.create_dataset("events/ps", data=ps)
+        f.attrs["t0"] = ts[0]
+        f.attrs["tk"] = ts[-1]
+        f.attrs["duration"] = float(ts[-1] - ts[0])
+
+        if n_flow_frames > 0:
+            edges = np.linspace(ts[0], ts[-1], n_flow_frames + 1)
+            for i in range(n_flow_frames):
+                d = f.create_dataset(
+                    f"flow/{i:06d}",
+                    data=rng.normal(size=(res[0], res[1], 2)).astype(
+                        np.float32
+                    )
+                    * flow_magnitude,
+                )
+                d.attrs["timestamp_from"] = edges[i]
+                d.attrs["timestamp_to"] = edges[i + 1]
+    return path

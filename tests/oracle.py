@@ -23,6 +23,42 @@ requires_reference = pytest.mark.skipif(
 )
 
 
+def shim_reference_deps():
+    """Stub optional reference deps (hdf5plugin, progress) that the bare
+    image lacks; the code paths the tests drive never use them."""
+    import sys
+    import types
+
+    if "hdf5plugin" not in sys.modules:
+        mod = types.ModuleType("hdf5plugin")
+        mod.Zstd = lambda *a, **k: {}
+        sys.modules["hdf5plugin"] = mod
+    if "mlflow" not in sys.modules:
+        try:
+            import mlflow  # noqa: F401
+        except ImportError:
+            mod = types.ModuleType("mlflow")
+            sys.modules["mlflow"] = mod
+    if "progress" not in sys.modules:
+        pkg = types.ModuleType("progress")
+        bar = types.ModuleType("progress.bar")
+
+        class Bar:  # minimal stand-in
+            def __init__(self, *a, **k):
+                pass
+
+            def next(self):
+                pass
+
+            def finish(self):
+                pass
+
+        bar.Bar = Bar
+        pkg.bar = bar
+        sys.modules["progress"] = pkg
+        sys.modules["progress.bar"] = bar
+
+
 def torch_from(x):
     import torch
 
