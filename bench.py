@@ -1,0 +1,94 @@
+"""Benchmark: event-warping throughput of the iterative contrast-max core.
+
+Measures the end-to-end hot path of training — the full jitted TBPTT window
+step (RecEVFlowNet scan + iterative warp table + fused IWE splats + grad +
+Adam) at the reference's training configuration (128x128, P=10 passes,
+batch 1..8), and reports warped-events throughput in Mevents/s.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+``vs_baseline`` is value / 100 Mevents/s — the north-star throughput target
+from BASELINE.json (the reference publishes no numbers of its own;
+BASELINE.md documents that gap).
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from taming_event_flow_tpu.models import RecEVFlowNet
+    from taming_event_flow_tpu.objectives import LossConfig
+    from taming_event_flow_tpu.training import build_optimizer, make_train_step
+    from taming_event_flow_tpu.training.step import init_train_state
+
+    res = (128, 128)
+    passes = 10
+    batch = 1
+    n_events = 8192  # ~ typical 10 ms window at 128x128 crops
+
+    model = RecEVFlowNet(num_bins=2, final_w_scale=0.01)
+    cfg = LossConfig(res=res, passes_loss=passes, scales_loss=1,
+                     iterative_mode="two")
+    opt = build_optimizer({"name": "Adam", "lr": 1e-5}, clip_grad=100.0)
+    state = init_train_state(model, opt, batch, res[0], res[1], 2)
+    step = make_train_step(model, opt, cfg, "Iterative", flow_scaling=32.0)
+
+    rng = np.random.default_rng(0)
+    ev = np.zeros((passes, batch, n_events, 4), np.float32)
+    ev[..., 0] = rng.uniform(0, 1, (passes, batch, n_events))
+    ev[..., 1] = rng.integers(0, res[0], (passes, batch, n_events))
+    ev[..., 2] = rng.integers(0, res[1], (passes, batch, n_events))
+    ev[..., 3] = rng.choice([-1.0, 1.0], (passes, batch, n_events))
+    window = {
+        "net_input": jnp.asarray(
+            rng.normal(size=(passes, batch, res[0], res[1], 2)),
+            jnp.float32,
+        ),
+        "event_list": jnp.asarray(ev),
+        "pol_mask": jnp.asarray(
+            np.stack([(ev[..., 3] > 0), (ev[..., 3] < 0)], -1), jnp.float32
+        ),
+        "grad_mask": jnp.ones((passes, batch, n_events, 1), jnp.float32),
+    }
+
+    # warmup / compile
+    state, loss = step(state, window)
+    jax.block_until_ready(loss)
+
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, loss = step(state, window)
+    jax.block_until_ready(loss)
+    dt = (time.perf_counter() - t0) / iters
+
+    # events warped per optimizer step: P windows x N events, each warped
+    # through ~P flow maps (fw+bw), across 4 flow scales
+    warps_per_step = passes * n_events * batch * passes * 4
+    mevents_per_s = warps_per_step / dt / 1e6
+
+    print(json.dumps({
+        "metric": "iterative_cm_train_warp_throughput",
+        "value": round(mevents_per_s, 2),
+        "unit": "Mevents/s",
+        "vs_baseline": round(mevents_per_s / 100.0, 3),
+        "detail": {
+            "train_step_ms": round(dt * 1e3, 2),
+            "res": list(res),
+            "passes": passes,
+            "batch": batch,
+            "events_per_window": n_events,
+            "device": str(jax.devices()[0]),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,140 @@
+"""Jitted TBPTT training step.
+
+The reference accumulates 10 forward passes eagerly, calls the loss, and
+backprops through the whole python history (reference
+``train_flow.py:80-156``). Here the ENTIRE loss window is one compiled XLA
+program: a ``lax.scan`` over the P passes runs the recurrent model and
+collects flow maps, the contrast-max loss consumes the stacked sequence, and
+one ``value_and_grad`` + optimizer update closes the step. Truncated BPTT
+falls out of functional purity — the carry returned by the step is a plain
+array, so the next window's gradient stops there exactly like the
+reference's ``detach_states`` (``models/model.py:50-60``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..objectives import LossConfig, LOSS_REGISTRY
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    carry: Any  # model recurrent state, [B, ...] leaves (or empty tuple)
+    step: jnp.ndarray
+
+
+def build_optimizer(opt_config: Dict, clip_grad: Optional[float] = None):
+    """Registry-based optimizer construction (replaces the reference's
+    ``eval(config["optimizer"]["name"])`` dispatch, ``train_flow.py:70``).
+
+    ``clip_grad`` reproduces ``clip_grad_norm_`` (``train_flow.py:127-129``).
+    """
+    name = opt_config.get("name", "Adam").lower()
+    lr = opt_config.get("lr", 1e-5)
+    table = {
+        "adam": optax.adam,
+        "adamw": optax.adamw,
+        "sgd": optax.sgd,
+    }
+    if name not in table:
+        raise ValueError(f"Unknown optimizer: {name!r}")
+    tx = table[name](lr)
+    if clip_grad is not None:
+        tx = optax.chain(optax.clip_by_global_norm(clip_grad), tx)
+    return tx
+
+
+def make_train_step(model, optimizer, loss_cfg: LossConfig,
+                    warping: str = "Iterative", flow_scaling: float = 32.0,
+                    donate: bool = True) -> Callable:
+    """Build the jitted window step.
+
+    Returned signature::
+
+        new_state, loss = step(state, window)
+
+    with ``window`` a dict of pass-stacked arrays:
+      * ``net_input``: ``[P, B, H, W, C]``
+      * ``event_list``: ``[P, B, N, 4]`` (ts, y, x, p), ts in [0, 1]
+      * ``pol_mask``: ``[P, B, N, 2]``
+      * ``grad_mask``: ``[P, B, N, 1]``
+    """
+    loss_fn = LOSS_REGISTRY[warping]
+
+    def step(state: TrainState, window: Dict[str, jnp.ndarray]):
+        def compute_loss(params):
+            def body(carry, inp):
+                x = inp
+                flows, new_carry = model.apply(
+                    {"params": params}, x, carry
+                )
+                return new_carry, flows * flow_scaling
+
+            new_carry, flows = jax.lax.scan(
+                body, state.carry, window["net_input"]
+            )  # flows: [P, S, B, H, W, 2]
+            loss = loss_fn(
+                flows,
+                window["event_list"],
+                window["pol_mask"],
+                window["grad_mask"],
+                loss_cfg,
+            )
+            return loss, new_carry
+
+        (loss, new_carry), grads = jax.value_and_grad(
+            compute_loss, has_aux=True
+        )(state.params)
+        updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(new_params, new_opt, new_carry, state.step + 1),
+            loss,
+        )
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_forward_fn(model, flow_scaling: float = 32.0) -> Callable:
+    """Jitted single-pass inference: ``(params, carry, x) -> (flows, carry)``."""
+
+    @jax.jit
+    def forward(params, carry, x):
+        flows, new_carry = model.apply({"params": params}, x, carry,
+                                       train=False)
+        return flows * flow_scaling, new_carry
+
+    return forward
+
+
+@jax.jit
+def reset_carry(carry, reset_mask):
+    """Zero the recurrent state of flagged batch lanes.
+
+    ``reset_mask``: ``[B]`` bool. The reference resets ALL lanes on any
+    sequence change (``train_flow.py:83-87``); per-lane zeroing is the
+    batched generalization.
+    """
+    def zero(leaf):
+        m = reset_mask.reshape((-1,) + (1,) * (leaf.ndim - 1))
+        return jnp.where(m, jnp.zeros_like(leaf), leaf)
+
+    return jax.tree.map(zero, carry)
+
+
+def init_train_state(model, optimizer, batch: int, height: int, width: int,
+                     num_bins: int, rng_key=None) -> TrainState:
+    """Fresh params + optimizer state + zero carry."""
+    if rng_key is None:
+        rng_key = jax.random.PRNGKey(0)
+    x = jnp.zeros((batch, height, width, num_bins))
+    carry = model.init_state(batch, height, width)
+    params = model.init(rng_key, x, carry)["params"]
+    opt_state = optimizer.init(params)
+    return TrainState(params, opt_state, carry, jnp.zeros((), jnp.int32))
