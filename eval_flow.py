@@ -1,0 +1,262 @@
+"""Evaluation entry point: deblurring metrics (FWL/RSAT) + supervised AEE.
+
+Same CLI surface as the reference evaluator (reference
+``eval_flow.py:210-227``)::
+
+    python eval_flow.py <runid> [--config configs/eval_flow.yml]
+                        [--path_mlflow DIR] [--path_results DIR]
+
+Pipeline (reference ``eval_flow.py:16-207``): reconstruct the train config
+from the tracked run, stream GT-aligned windows at batch 1, run the
+recurrent model, feed the Iterative/Linear validation state machine, and at
+every ``passes_loss`` boundary compute AEE (on the accumulated backward flow
+map — the DSEC submission quantity), RSAT and FWL; store per-sequence
+averages as ``metrics_<id>.yml`` plus rendered/encoded imagery.
+"""
+
+import argparse
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from taming_event_flow_tpu.configs import YAMLParser
+from taming_event_flow_tpu.data import H5Loader
+from taming_event_flow_tpu.metrics import METRIC_REGISTRY, ValConfig, compute_aee
+from taming_event_flow_tpu.models import build_model
+from taming_event_flow_tpu.ops import compute_pol_iwe
+from taming_event_flow_tpu import tracking
+from taming_event_flow_tpu.tracking import load_checkpoint
+from taming_event_flow_tpu.tracking.loggers import (
+    create_model_dir,
+    initialize_quant_results,
+    log_config,
+    log_results,
+)
+from taming_event_flow_tpu.training import make_forward_fn
+from taming_event_flow_tpu.training.window import pad_batch_events
+from taming_event_flow_tpu.utils import Visualization
+
+
+def grow_val_state(state, n_new: int):
+    """Widen the event axis of the slot state (zero padding) so a larger
+    window bucket can be ingested without losing accumulated passes."""
+    def widen(leaf):
+        if leaf.ndim >= 3 and leaf.shape[2] < n_new and leaf.ndim == 4:
+            pad = [(0, 0)] * leaf.ndim
+            pad[2] = (0, n_new - leaf.shape[2])
+            return jnp.pad(leaf, pad)
+        return leaf
+
+    return state._replace(
+        event_ts=widen(state.event_ts),
+        event_loc=widen(state.event_loc),
+        pol_mask=widen(state.pol_mask),
+        fw_loc=widen(state.fw_loc),
+        fw_ts=widen(state.fw_ts),
+        fw_mask=widen(state.fw_mask),
+        bw_loc=widen(state.bw_loc),
+        bw_mask=widen(state.bw_mask),
+    )
+
+
+def test(args, config_parser: YAMLParser):
+    tracking.set_tracking_uri(args.path_mlflow)
+    run = tracking.get_run(args.runid)
+    config = config_parser.merge_configs(run.data.params)
+    config = config_parser.combine_entries(config)
+
+    config["loader"]["batch_size"] = 1
+    res = tuple(config["loader"]["resolution"])
+    passes = config["data"]["passes_loss"]
+    num_bins = 2 if config["data"]["voxel"] is None else config["data"]["voxel"]
+    flow_scaling = config["loss"].get("flow_scaling", 32)
+    metrics_cfg = config.get("metrics", {})
+    metric_names = metrics_cfg.get("name", ["FWL", "RSAT"])
+
+    path_results = create_model_dir(args.path_results, args.runid)
+    eval_id = log_config(path_results, args.runid, config)
+
+    vis = Visualization(config, eval_id=eval_id, path_results=path_results)
+
+    data = H5Loader(config, shuffle=True)
+
+    model = build_model(dict(config["model"]), num_bins=num_bins)
+    carry = model.init_state(1, res[0], res[1])
+    x0 = jnp.zeros((1, res[0], res[1], num_bins))
+    params = model.init(jax.random.PRNGKey(0), x0, carry)["params"]
+    template = {"params": params, "opt_state": None,
+                "step": np.int64(0), "epoch": np.int64(0)}
+    restored, _ = load_checkpoint(args.runid, template)
+    if restored is not None:
+        params = restored["params"]
+    else:
+        print("WARNING: no checkpoint found for run; evaluating random init")
+
+    forward = make_forward_fn(model, flow_scaling=flow_scaling)
+
+    val_cls = METRIC_REGISTRY[metrics_cfg.get("warping", "Iterative")]
+    val_cfg = ValConfig(
+        res=res, passes=passes, round_ts=config["loss"].get("round_ts", False)
+    )
+    n_slots = config["loader"].get("n_events_pad") or 4096
+    criteria = val_cls(val_cfg, 1, n_slots)
+    vstate = criteria.init()
+    update = jax.jit(criteria.update)
+
+    val_results = {}
+    end_test = False
+    while not end_test:
+        batch = data.next_batch()
+        sequence = data.seq_name
+
+        if batch["new_seq"].any():
+            carry = model.init_state(1, res[0], res[1])
+            vstate = criteria.init()
+
+        if config["data"]["mode"] == "gtflow" and batch["ts_jump_reset"].any():
+            data.clear_ts_jump()
+            carry = model.init_state(1, res[0], res[1])
+
+        if data.seq_num >= len(data.files):
+            end_test = True
+            break
+
+        n_batch = batch["event_list"].shape[1]
+        if n_batch > criteria.n_events:
+            criteria = val_cls(val_cfg, 1, n_batch)
+            vstate = grow_val_state(vstate, n_batch)
+            update = jax.jit(criteria.update)
+        elif n_batch < criteria.n_events:
+            batch = pad_batch_events(batch, criteria.n_events)
+
+        x = jnp.asarray(batch["net_input"])
+        flows, carry = forward(params, carry, x)
+        flow_fine = flows[-1]  # [B, H, W, 2]
+
+        flow_vis = np.asarray(flow_fine)
+        if config["vis"].get("mask_output"):
+            flow_vis = flow_vis * np.asarray(batch["event_mask"])
+
+        if (config["vis"].get("enabled") or config["vis"].get("store")) and (
+            config["vis"].get("show") is None
+            or "iwe" in (config["vis"].get("show") or [])
+        ):
+            vis.data["iwe"] = np.asarray(
+                compute_pol_iwe(
+                    jnp.asarray(flow_vis), jnp.asarray(batch["event_list"]),
+                    res, jnp.asarray(batch["event_list_pol_mask"]),
+                    round_idx=False, round_flow=False,
+                )
+            )
+
+        vstate = update(
+            vstate, flow_fine,
+            jnp.asarray(batch["event_list"]),
+            jnp.asarray(batch["event_list_pol_mask"]),
+            jnp.asarray(batch["event_mask"]),
+        )
+
+        if config["vis"].get("enabled") or config["vis"].get("store"):
+            num = int(vstate.pass_idx)
+            if passes > 1 and config["vis"].get("dynamic"):
+                vis.data["events_dynamic"] = np.asarray(
+                    criteria.window_events(vstate))
+                vis.data["iwe_fw_dynamic"] = np.asarray(
+                    criteria.window_iwe(vstate, mode="forward"))
+                vis.data["iwe_bw_dynamic"] = np.asarray(
+                    criteria.window_iwe(vstate, mode="backward"))
+                vis.data["flow_dynamic"] = np.asarray(
+                    criteria.window_flow(vstate, mode="forward"))
+            if num > 1 and num == passes:
+                vis.data["events_window"] = np.asarray(
+                    criteria.window_events(vstate))
+                vis.data["iwe_fw_window"] = np.asarray(
+                    criteria.window_iwe(vstate, mode="forward"))
+                vis.data["iwe_bw_window"] = np.asarray(
+                    criteria.window_iwe(vstate, mode="backward"))
+                vis.data["flow_window"] = np.asarray(
+                    criteria.window_flow(vstate, mode="forward"))
+
+        vis.data["flow_bw"] = None
+        val_results = initialize_quant_results(
+            val_results, sequence, metric_names
+        )
+        if int(vstate.pass_idx) == passes:
+            compute = True
+            if "eval_time" in metrics_cfg:
+                t = data.last_proc_timestamp
+                lo, hi = metrics_cfg["eval_time"]
+                compute = lo <= t <= hi
+
+            if compute:
+                if (
+                    config["data"]["mode"] == "gtflow"
+                    and "AEE" in metric_names
+                    and "gtflow" in batch
+                ):
+                    mask_aee = None
+                    if metrics_cfg.get("mask_aee"):
+                        mask_aee = criteria.window_events(vstate)
+                    flow_bw = (
+                        criteria.window_flow(vstate, mode="backward", mask=False)
+                        * passes
+                    )
+                    vis.data["flow_bw"] = np.asarray(flow_bw)
+                    aee = compute_aee(
+                        flow_bw, jnp.asarray(batch["gtflow"]),
+                        event_mask=mask_aee,
+                        res_aee=metrics_cfg.get("res_aee"),
+                        vertical_crop_aee=metrics_cfg.get("vertical_crop_aee"),
+                    )
+                    val_results[sequence]["AEE"]["metric"] += float(aee)
+                    val_results[sequence]["AEE"]["it"] += 1
+
+                for metric in metric_names:
+                    if metric == "RSAT":
+                        val_results[sequence][metric]["metric"] += float(
+                            criteria.rsat(vstate)[0]
+                        )
+                        val_results[sequence][metric]["it"] += 1
+                    elif metric == "FWL":
+                        val_results[sequence][metric]["metric"] += float(
+                            criteria.fwl(vstate)
+                        )
+                        val_results[sequence][metric]["it"] += 1
+
+            vstate = criteria.init()
+
+        if config["vis"].get("enabled") or config["vis"].get("store"):
+            vis.data["flow"] = flow_vis
+            vis.step(
+                batch, sequence=sequence, ts=data.last_proc_timestamp,
+                show=config["vis"].get("show"),
+            )
+
+    results = {}
+    for metric in metric_names:
+        results[metric] = {}
+        for key in val_results:
+            if val_results[key][metric]["it"] > 0:
+                results[metric][key] = str(
+                    val_results[key][metric]["metric"]
+                    / val_results[key][metric]["it"]
+                )
+        log_results(args.runid, results, path_results, eval_id)
+    print(results)
+    return results
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("runid", help="tracked run id")
+    parser.add_argument(
+        "--config", default="configs/eval_flow.yml",
+        help="config file, overwrites tracked settings",
+    )
+    parser.add_argument("--path_mlflow", default="",
+                        help="tracking-store location")
+    parser.add_argument("--path_results", default="results_inference/")
+    args = parser.parse_args()
+    test(args, YAMLParser(args.config))

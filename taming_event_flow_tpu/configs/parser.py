@@ -35,6 +35,7 @@ DEFAULTS: Dict[str, Any] = {
     "loader": {
         "resolution": [180, 240],
         "batch_size": 1,
+        "n_epochs": 500,
         "augment": [],
         "augment_prob": [],
         "max_num_grad_events": None,

@@ -183,6 +183,7 @@ _FIELD_KEYS = {
     "channel_multiplier",
     "final_activation",
     "final_w_scale",
+    "min_size",
 }
 
 

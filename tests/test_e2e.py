@@ -1,0 +1,174 @@
+"""End-to-end smoke: train on synthetic data -> checkpoint -> eval produces
+metrics + DSEC-encodable flow; submission formatter round-trips."""
+
+import argparse
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+from taming_event_flow_tpu.data.synthetic import write_synthetic_h5
+from taming_event_flow_tpu.utils import encode_dsec_flow, decode_dsec_flow
+
+RES = (32, 32)
+
+
+def write_cfg(path, d):
+    with open(path, "w") as f:
+        yaml.safe_dump(d, f)
+    return str(path)
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    root = tmp_path_factory.mktemp("e2e")
+    ds = root / "data"
+    ds.mkdir()
+    write_synthetic_h5(
+        str(ds / "seq0.h5"), n_events=3000, res=RES, n_flow_frames=8, seed=1
+    )
+    return root, str(ds)
+
+
+def make_train_cfg(root, ds):
+    cfg = {
+        "experiment": "e2e",
+        "data": {"path": ds, "mode": "time", "window": 0.2,
+                 "passes_loss": 2, "scales_loss": 1, "voxel": None,
+                 "cache": False},
+        "model": {"name": "RecEVFlowNet", "base_channels": 8,
+                  "num_encoders": 2, "num_residual_blocks": 1,
+                  "min_size": 4, "final_w_scale": 0.01},
+        "loss": {"warping": "Iterative", "iterative_mode": "two",
+                 "round_ts": False, "flow_scaling": 8,
+                 "flow_spat_smooth_weight": None,
+                 "flow_temp_smooth_weight": None, "clip_grad": 100.0},
+        "optimizer": {"name": "Adam", "lr": 0.0001},
+        "loader": {"n_epochs": 2, "batch_size": 1, "resolution": list(RES),
+                   "augment": [], "augment_prob": [],
+                   "max_num_grad_events": None, "seed": 11},
+        "vis": {"verbose": False, "enabled": False, "store": False},
+    }
+    return write_cfg(root / "train.yml", cfg)
+
+
+def make_eval_cfg(root, ds, store=False):
+    cfg = {
+        "data": {"path": ds, "mode": "gtflow", "window": 1,
+                 "passes_loss": 2, "cache": False},
+        "loader": {"resolution": list(RES), "augment": [],
+                   "max_num_grad_events": None, "seed": 11},
+        "metrics": {"warping": "Iterative",
+                    "name": ["FWL", "RSAT", "AEE"]},
+        "vis": {"enabled": False, "store": store, "bars": False,
+                "mask_output": False, "dynamic": False,
+                "show": ["flow_bw"] if store else None},
+    }
+    return write_cfg(root / "eval.yml", cfg)
+
+
+@pytest.fixture(scope="module")
+def trained_run(workspace, monkeypatch_module=None):
+    root, ds = workspace
+    os.chdir(root)  # tracking store writes ./mlruns
+    from taming_event_flow_tpu.configs import YAMLParser
+    import train_flow
+
+    cfg_path = make_train_cfg(root, ds)
+    args = argparse.Namespace(
+        config=cfg_path, path_mlflow=str(root), path_cache="", prev_runid=""
+    )
+    runid = train_flow.train(args, YAMLParser(cfg_path))
+    return root, ds, runid
+
+
+def test_train_produces_checkpoint_and_metrics(trained_run):
+    root, ds, runid = trained_run
+    run_dir = os.path.join(str(root), "mlruns", "0", runid)
+    assert os.path.isfile(
+        os.path.join(run_dir, "artifacts", "model", "checkpoint.msgpack")
+    )
+    with open(os.path.join(run_dir, "metrics", "loss")) as f:
+        losses = [float(l.split()[1]) for l in f]
+    assert len(losses) >= 1 and np.all(np.isfinite(losses))
+
+
+def test_eval_produces_metrics(trained_run):
+    root, ds, runid = trained_run
+    from taming_event_flow_tpu.configs import YAMLParser
+    import eval_flow
+
+    cfg_path = make_eval_cfg(root, ds, store=True)
+    args = argparse.Namespace(
+        runid=runid, config=cfg_path, path_mlflow=str(root),
+        path_results=str(root / "results_inference") + "/",
+    )
+    results = eval_flow.test(args, YAMLParser(cfg_path))
+    assert "FWL" in results and "RSAT" in results and "AEE" in results
+    assert len(results["AEE"]) >= 1
+    for metric in results.values():
+        for v in metric.values():
+            assert np.isfinite(float(v))
+
+    res_dir = os.path.join(str(root), "results_inference", runid)
+    ymls = [f for f in os.listdir(res_dir) if f.startswith("metrics_")]
+    assert ymls
+    # stored flow_bw PNGs decode back to flow within 1/128 px
+    seq_dir = os.path.join(res_dir, "results", "eval_0", "seq0", "flow_bw")
+    pngs = sorted(os.listdir(seq_dir))
+    assert pngs
+    import cv2
+
+    img = cv2.imread(os.path.join(seq_dir, pngs[0]), cv2.IMREAD_UNCHANGED)
+    flow = decode_dsec_flow(img)
+    assert flow.shape == (RES[0], RES[1], 2)
+    assert np.abs(flow).max() < 1000
+
+
+def test_dsec_submission_formatter(trained_run, tmp_path):
+    root, ds, runid = trained_run
+    import prepare_dsec_submission as prep
+
+    # build a fake benchmark metadata dir wrapping the eval output
+    sub_root = tmp_path / "dsec_submissions"
+    sub_root.mkdir()
+    eval_src = os.path.join(
+        str(root), "results_inference", runid, "results", "eval_0"
+    )
+    dst = sub_root / runid / "eval_0"
+    import shutil
+
+    shutil.copytree(eval_src, dst)
+    n = len(os.listdir(dst / "seq0" / "flow_bw"))
+    flags = np.ones(n, np.int64)
+    np.save(sub_root / "seq0_flag.npy", flags)
+    with open(sub_root / "seq0.txt", "w") as f:
+        f.write("# from_timestamp_us, to_timestamp_us, file_index\n")
+        for i in range(n):
+            f.write(f"{i * 100000}, {(i + 1) * 100000}, {i + 1:06d}\n")
+
+    args = argparse.Namespace(runid=runid, path=str(sub_root) + "/", eval_id=0)
+    prep.prepare(args)
+
+    out = dst / "submission" / "seq0"
+    assert out.is_dir()
+    assert len(os.listdir(out)) == n
+
+
+def test_warm_start_resume(trained_run):
+    root, ds, runid = trained_run
+    from taming_event_flow_tpu.configs import YAMLParser
+    import train_flow
+
+    cfg_path = make_train_cfg(root, ds)
+    args = argparse.Namespace(
+        config=cfg_path, path_mlflow=str(root), path_cache="",
+        prev_runid=runid,
+    )
+    runid2 = train_flow.train(args, YAMLParser(cfg_path))
+    assert runid2 != runid
+    run_dir = os.path.join(str(root), "mlruns", "0", runid2)
+    with open(os.path.join(run_dir, "metrics", "loss")) as f:
+        lines = f.readlines()
+    assert len(lines) >= 2  # replayed history + new epochs
