@@ -105,13 +105,27 @@ def test(args, config_parser: YAMLParser):
     vstate = criteria.init()
     update = jax.jit(criteria.update)
 
+    from taming_event_flow_tpu.utils import ProgressBar
+
+    bar = None
+    if config["vis"].get("bars"):
+        bar = ProgressBar(data.seq_name, max=data.get_iters(data.lanes[0]))
+
     val_results = {}
     end_test = False
     while not end_test:
         batch = data.next_batch()
         sequence = data.seq_name
 
+        if bar is not None:
+            bar.next()
+
         if batch["new_seq"].any():
+            if bar is not None:
+                bar.finish()
+                bar = ProgressBar(
+                    data.seq_name, max=data.get_iters(data.lanes[0])
+                )
             carry = model.init_state(1, res[0], res[1])
             vstate = criteria.init()
 

@@ -114,6 +114,16 @@ def events_to_image(event_cnt_hw2: np.ndarray,
         mask_pos, mask_neg = pos > 0, neg > 0
         img[..., 1][mask_pos] = pos[mask_pos]
         img[..., 2][mask_neg] = neg[mask_neg]
+    elif color_scheme == "rpg":
+        img[:] = 1.0
+        mask_pos, mask_neg = pos > 0, neg > 0
+        img[mask_neg] = (1.0, 0.0, 0.0)  # blue (BGR)
+        img[mask_pos] = (0.0, 0.0, 1.0)  # red
+    elif color_scheme == "prophesee":
+        img[:] = 1.0
+        mask_pos, mask_neg = pos > 0, neg > 0
+        img[mask_neg] = (0.243137, 0.117647, 0.047059)
+        img[mask_pos] = (0.635294, 0.423529, 0.235294)
     else:
         raise ValueError(f"unknown color scheme {color_scheme!r}")
     return (255 * img).astype(np.uint8)

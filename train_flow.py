@@ -63,6 +63,12 @@ def train(args, config_parser: YAMLParser):
     config = config_parser.combine_entries(config)
     print("Run id:", runid)
 
+    # observability: git-diff snapshot (reference ``train_flow.py:36``)
+    from taming_event_flow_tpu.utils import StepMeter, save_diff
+
+    save_diff("train_diff.txt")
+    meter = StepMeter()
+
     res = tuple(config["loader"]["resolution"])
     batch_size = config["loader"]["batch_size"]
     passes = effective_passes(config)
@@ -171,12 +177,18 @@ def train(args, config_parser: YAMLParser):
         loss_val = float(loss)
         train_loss += loss_val
         data.samples += batch_size
+        meter.tick()
 
         if config["vis"].get("verbose"):
+            ev_per_step = float(window["event_list"].shape[0]
+                                * window["event_list"].shape[1]
+                                * window["event_list"].shape[2])
             print(
                 f"Train Epoch: {data.epoch:04d} "
                 f"[{data.seq_num:03d}/{len(data.files):03d}] "
-                f"Loss: {train_loss / max(data.samples, 1):.6f}",
+                f"Loss: {train_loss / max(data.samples, 1):.6f} "
+                f"({meter.steps_per_s:.2f} step/s, "
+                f"{meter.mevents_per_s(ev_per_step):.1f} Mev/s)",
                 end="\r",
             )
 
