@@ -19,6 +19,63 @@ import time
 import numpy as np
 
 
+def bench_dsec_inference():
+    """DSEC-Flow benchmark shape: 480x640, gtflow window=0.1 (10 ms of
+    events per pass, 10 passes per GT frame). Measures model forward + the
+    Iterative validation update per pass and reports GT-frames/s."""
+    import jax
+    import jax.numpy as jnp
+
+    from taming_event_flow_tpu.models import RecEVFlowNet
+    from taming_event_flow_tpu.metrics import IterativeValidation, ValConfig
+    from taming_event_flow_tpu.training import make_forward_fn
+
+    res = (480, 640)
+    passes = 10
+    n_events = 32768
+
+    model = RecEVFlowNet(num_bins=2)
+    carry = model.init_state(1, res[0], res[1])
+    x = jnp.zeros((1, res[0], res[1], 2), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x, carry)["params"]
+    forward = make_forward_fn(model)
+
+    val = IterativeValidation(ValConfig(res=res, passes=passes), 1, n_events)
+    vstate = val.init()
+    update = jax.jit(val.update)
+
+    rng = np.random.default_rng(0)
+    ev = np.zeros((1, n_events, 4), np.float32)
+    ev[..., 0] = rng.uniform(0, 1, (1, n_events))
+    ev[..., 1] = rng.integers(0, res[0], (1, n_events))
+    ev[..., 2] = rng.integers(0, res[1], (1, n_events))
+    ev[..., 3] = rng.choice([-1.0, 1.0], (1, n_events))
+    ev = jnp.asarray(ev)
+    pol = jnp.asarray(
+        np.stack([(np.asarray(ev)[..., 3] > 0),
+                  (np.asarray(ev)[..., 3] < 0)], -1), jnp.float32
+    )
+    emask = jnp.ones((1, res[0], res[1], 1), jnp.float32)
+
+    # warmup
+    flows, carry = forward(params, carry, x)
+    vstate = update(vstate, flows[-1], ev, pol, emask)
+    jax.block_until_ready(vstate.fw_loc)
+
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        flows, carry = forward(params, carry, x)
+        vstate = update(vstate, flows[-1], ev, pol, emask)
+    jax.block_until_ready(vstate.fw_loc)
+    per_pass = (time.perf_counter() - t0) / iters
+    return {
+        "pass_ms": round(per_pass * 1e3, 2),
+        "gt_frames_per_s": round(1.0 / (passes * per_pass), 2),
+        "model_passes_per_s": round(1.0 / per_pass, 1),
+    }
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -74,6 +131,8 @@ def main():
     warps_per_step = passes * n_events * batch * passes * 4
     mevents_per_s = warps_per_step / dt / 1e6
 
+    dsec = bench_dsec_inference()
+
     print(json.dumps({
         "metric": "iterative_cm_train_warp_throughput",
         "value": round(mevents_per_s, 2),
@@ -86,6 +145,7 @@ def main():
             "batch": batch,
             "events_per_window": n_events,
             "device": str(jax.devices()[0]),
+            "dsec_480x640_inference": dsec,
         },
     }))
 

@@ -68,6 +68,7 @@ class ConvLayer(nn.Module):
     norm: Optional[str] = None
     w_scale: Optional[float] = None
     use_bias: Optional[bool] = None
+    dtype: Optional[jnp.dtype] = None  # compute dtype (bf16 for MXU); params stay f32
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -83,6 +84,7 @@ class ConvLayer(nn.Module):
             use_bias=bias,
             kernel_init=uniform_fan_in_init(self.w_scale),
             bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
         )(x)
         if self.norm == "BN":
             x = nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
@@ -103,6 +105,7 @@ class ConvGRU(nn.Module):
 
     hidden: int
     kernel_size: int = 3
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, h):
@@ -116,6 +119,7 @@ class ConvGRU(nn.Module):
                 use_bias=True,
                 kernel_init=orthogonal_torch_init(),
                 bias_init=nn.initializers.zeros,
+                dtype=self.dtype,
                 name=name,
             )
 
@@ -135,6 +139,7 @@ class RecurrentConvLayer(nn.Module):
     stride: int = 2
     activation_ff: Optional[str] = "relu"
     norm: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, h, train: bool = True):
@@ -144,9 +149,13 @@ class RecurrentConvLayer(nn.Module):
             stride=self.stride,
             activation=self.activation_ff,
             norm=self.norm,
+            dtype=self.dtype,
             name="conv",
         )(x, train=train)
-        x, h = ConvGRU(self.features, kernel_size=3, name="recurrent_block")(x, h)
+        x, h = ConvGRU(
+            self.features, kernel_size=3, dtype=self.dtype,
+            name="recurrent_block",
+        )(x, h)
         return x, h
 
 
@@ -157,6 +166,7 @@ class ResidualBlock(nn.Module):
     kernel_size: int = 3
     activation: Optional[str] = "relu"
     norm: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -170,6 +180,7 @@ class ResidualBlock(nn.Module):
                 kernel_size=(self.kernel_size, self.kernel_size),
                 padding=((pad, pad), (pad, pad)),
                 use_bias=self.norm != "BN",
+                dtype=self.dtype,
                 name=name,
             )
 
@@ -194,6 +205,7 @@ class UpsampleConvLayer(nn.Module):
     kernel_size: int = 3
     activation: Optional[str] = "relu"
     norm: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -205,6 +217,7 @@ class UpsampleConvLayer(nn.Module):
             stride=1,
             activation=self.activation,
             norm=self.norm,
+            dtype=self.dtype,
             name="conv",
         )(x, train=train)
 
@@ -216,6 +229,7 @@ class TransposedConvLayer(nn.Module):
     kernel_size: int = 3
     activation: Optional[str] = "relu"
     norm: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -227,6 +241,7 @@ class TransposedConvLayer(nn.Module):
             strides=(2, 2),
             padding="SAME",
             use_bias=self.norm != "BN",
+            dtype=self.dtype,
         )(x)
         act = get_activation(self.activation)
         if act is not None:

@@ -67,6 +67,7 @@ class RecEVFlowNet(nn.Module):
     final_activation: Optional[str] = "tanh"
     final_w_scale: Optional[float] = None
     min_size: int = 16
+    compute_dtype: Optional[str] = None  # e.g. "bfloat16" for MXU throughput
 
     @nn.nowrap
     def _arch(self, name=None) -> MultiResUNetRecurrent:
@@ -83,6 +84,7 @@ class RecEVFlowNet(nn.Module):
             channel_multiplier=self.channel_multiplier,
             final_activation=self.final_activation,
             final_w_scale=self.final_w_scale,
+            dtype=jnp.dtype(self.compute_dtype) if self.compute_dtype else None,
         )
         if name is not None:
             kwargs["name"] = name
@@ -129,6 +131,7 @@ class EVFlowNet(nn.Module):
     final_activation: Optional[str] = "tanh"
     final_w_scale: Optional[float] = None
     min_size: int = 16
+    compute_dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, state=None, train: bool = True):
@@ -147,6 +150,7 @@ class EVFlowNet(nn.Module):
             channel_multiplier=self.channel_multiplier,
             final_activation=self.final_activation,
             final_w_scale=self.final_w_scale,
+            dtype=jnp.dtype(self.compute_dtype) if self.compute_dtype else None,
             name="arch",
         )(x, train=train)
         flows = []
@@ -184,6 +188,7 @@ _FIELD_KEYS = {
     "final_activation",
     "final_w_scale",
     "min_size",
+    "compute_dtype",
 }
 
 

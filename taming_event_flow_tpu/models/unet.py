@@ -78,6 +78,7 @@ class MultiResUNetRecurrent(nn.Module):
     final_activation: Optional[str] = "tanh"
     final_w_scale: Optional[float] = None
     ff_act: Optional[str] = "relu"
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, state, train: bool = True):
@@ -97,6 +98,7 @@ class MultiResUNetRecurrent(nn.Module):
                 stride=self.encoder_stride,
                 activation_ff=self.ff_act,
                 norm=self.norm,
+                dtype=self.dtype,
                 name=f"encoder_{i}",
             )(x, state[i], train=train)
             blocks.append(x)
@@ -108,6 +110,7 @@ class MultiResUNetRecurrent(nn.Module):
                 outs[-1],
                 activation=self.ff_act,
                 norm=self.norm,
+                dtype=self.dtype,
                 name=f"resblock_{j}",
             )(x, train=train)
 
@@ -124,6 +127,7 @@ class MultiResUNetRecurrent(nn.Module):
                 kernel_size=self.kernel_size,
                 activation=self.ff_act,
                 norm=self.norm,
+                dtype=self.dtype,
                 name=f"decoder_{i}",
             )(x, train=train)
             pred = ConvLayer(
@@ -132,9 +136,10 @@ class MultiResUNetRecurrent(nn.Module):
                 activation=self.final_activation,
                 norm=self.norm,
                 w_scale=self.final_w_scale,
+                dtype=self.dtype,
                 name=f"pred_{i}",
             )(x, train=train)
-            predictions.append(pred)
+            predictions.append(pred.astype(jnp.float32))
 
         return predictions, tuple(new_state)
 
@@ -176,6 +181,7 @@ class MultiResUNet(nn.Module):
     final_activation: Optional[str] = "tanh"
     final_w_scale: Optional[float] = None
     ff_act: Optional[str] = "relu"
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -193,6 +199,7 @@ class MultiResUNet(nn.Module):
                 stride=self.encoder_stride,
                 activation=self.ff_act,
                 norm=self.norm,
+                dtype=self.dtype,
                 name=f"encoder_{i}",
             )(x, train=train)
             blocks.append(x)

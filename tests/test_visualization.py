@@ -1,0 +1,60 @@
+"""Visualization/codec tests (DSEC PNG encoding parity is benchmark-critical)."""
+
+import numpy as np
+
+from taming_event_flow_tpu.utils import (
+    encode_dsec_flow,
+    decode_dsec_flow,
+    flow_to_image,
+    events_to_image,
+)
+from taming_event_flow_tpu.utils.progress import ProgressBar, StepMeter
+
+
+def test_dsec_flow_codec_roundtrip(rng):
+    flow = rng.normal(size=(16, 20, 2)).astype(np.float32) * 10
+    enc = encode_dsec_flow(flow)
+    assert enc.dtype == np.uint16 and enc.shape == (16, 20, 3)
+    dec = decode_dsec_flow(enc)
+    # quantization step is 1/128 px
+    np.testing.assert_allclose(dec, flow, atol=1.0 / 128)
+
+
+def test_dsec_encoding_matches_reference_formula(rng):
+    """uint16(flow*128 + 2^15), zero-padded 3rd channel, channel-flipped
+    (reference visualization.py:146-149)."""
+    flow = rng.normal(size=(4, 5, 2)).astype(np.float32)
+    enc = encode_dsec_flow(flow)
+    expect = (flow * 128 + 2**15).astype(np.uint16)
+    np.testing.assert_array_equal(enc[..., 2], expect[..., 0])
+    np.testing.assert_array_equal(enc[..., 1], expect[..., 1])
+    assert np.all(enc[..., 0] == 0)
+
+
+def test_flow_to_image_shapes(rng):
+    img = flow_to_image(rng.normal(size=(8, 10, 2)).astype(np.float32))
+    assert img.shape == (8, 10, 3) and img.dtype == np.uint8
+
+
+def test_events_to_image_schemes(rng):
+    cnt = rng.integers(0, 5, size=(8, 10, 2)).astype(np.float32)
+    for scheme in ["green_red", "gray", "rpg", "prophesee"]:
+        img = events_to_image(cnt, color_scheme=scheme)
+        assert img.shape == (8, 10, 3) and img.dtype == np.uint8
+
+
+def test_progress_meter(capsys):
+    import io
+
+    buf = io.StringIO()
+    bar = ProgressBar("seq", max=4, stream=buf)
+    for _ in range(4):
+        bar.next()
+    bar.finish()
+    assert "4/4" in buf.getvalue()
+
+    m = StepMeter()
+    m.tick()
+    m.tick()
+    assert m.steps_per_s > 0
+    assert m.mevents_per_s(1e6) > 0
