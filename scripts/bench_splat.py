@@ -69,14 +69,20 @@ def main():
         f_sc = jax.jit(lambda i, w: scatter_splat(i, w, hw))
         t_sc = timeit(f_sc, idx, w4)
 
-        f_oh = jax.jit(lambda i, w: onehot_splat(i, w, hw))
-        t_oh = timeit(f_oh, idx, w4)
+        if hw <= 128 * 128:
+            f_oh = jax.jit(lambda i, w: onehot_splat(i, w, hw))
+            t_oh = timeit(f_oh, idx, w4)
+        else:
+            t_oh = float("nan")
 
         # gradient w.r.t. weights (the training path)
-        g_sc = jax.jit(jax.grad(lambda w: scatter_splat(idx, w, hw).sum()))
-        tg_sc = timeit(g_sc, w4)
-        g_oh = jax.jit(jax.grad(lambda w: onehot_splat(idx, w, hw).sum()))
-        tg_oh = timeit(g_oh, w4)
+        g_sc = jax.jit(jax.grad(lambda w, i: scatter_splat(i, w, hw).sum()))
+        tg_sc = timeit(g_sc, w4, idx)
+        if hw <= 128 * 128:
+            g_oh = jax.jit(jax.grad(lambda w, i: onehot_splat(i, w, hw).sum()))
+            tg_oh = timeit(g_oh, w4, idx)
+        else:
+            tg_oh = float("nan")
 
         print(
             f"{name}: scatter {t_sc*1e3:.2f}ms (grad {tg_sc*1e3:.2f}) | "

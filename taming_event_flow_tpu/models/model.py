@@ -168,9 +168,13 @@ class EVFlowNet(nn.Module):
         return ()
 
 
+from .fire import RecFireFlowNet, FireFlowNet  # noqa: E402
+
 _MODEL_REGISTRY = {
     "RecEVFlowNet": RecEVFlowNet,
     "EVFlowNet": EVFlowNet,
+    "RecFireFlowNet": RecFireFlowNet,
+    "FireFlowNet": FireFlowNet,
 }
 
 # config keys that map onto module fields (reference model kwargs,
@@ -198,5 +202,12 @@ def build_model(model_config: Dict[str, Any], num_bins: int = 2):
     name = model_config.get("name", "RecEVFlowNet")
     if name not in _MODEL_REGISTRY:
         raise ValueError(f"Unknown model: {name!r}")
-    kwargs = {k: v for k, v in model_config.items() if k in _FIELD_KEYS}
-    return _MODEL_REGISTRY[name](num_bins=num_bins, **kwargs)
+    cls = _MODEL_REGISTRY[name]
+    import dataclasses
+
+    cls_fields = {f.name for f in dataclasses.fields(cls)}
+    kwargs = {
+        k: v for k, v in model_config.items()
+        if k in _FIELD_KEYS and k in cls_fields
+    }
+    return cls(num_bins=num_bins, **kwargs)

@@ -106,3 +106,27 @@ def test_forward_parity_via_checkpoint_port(rng):
                 np.asarray(flows[i]), ref_flow, atol=2e-5, rtol=1e-4,
                 err_msg=f"step {step} scale {i}",
             )
+
+
+def test_fire_flow_net_variants():
+    from taming_event_flow_tpu.models import RecFireFlowNet, build_model
+
+    model = build_model(
+        {"name": "RecFireFlowNet", "base_channels": 8,
+         "final_w_scale": 0.01, "num_encoders": 4}, num_bins=2,
+    )
+    assert isinstance(model, RecFireFlowNet)
+    x = jnp.ones((1, 16, 20, 2))
+    state = model.init_state(1, 16, 20)
+    params = model.init(jax.random.PRNGKey(0), x, state)["params"]
+    flows, new_state = model.apply({"params": params}, x, state)
+    assert flows.shape == (1, 1, 16, 20, 2)
+    assert new_state[0].shape == (1, 16, 20, 8)
+    # recurrence carries information
+    f2, _ = model.apply({"params": params}, x, new_state)
+    assert not np.allclose(np.asarray(flows), np.asarray(f2))
+
+    ff = build_model({"name": "FireFlowNet", "base_channels": 8}, num_bins=2)
+    params2 = ff.init(jax.random.PRNGKey(0), x)["params"]
+    flows2, st = ff.apply({"params": params2}, x)
+    assert flows2.shape == (1, 1, 16, 20, 2) and st == ()
