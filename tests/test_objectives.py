@@ -250,3 +250,56 @@ def test_iterative_loss_jits(rng):
     v1 = float(f(jnp.asarray(flows)))
     v2 = float(f(jnp.asarray(flows)))
     assert np.isfinite(v1) and v1 == v2
+
+
+@requires_reference
+def test_iterative_loss_parity_batch2(rng):
+    """Batched lanes (B=2): values and grads still match the reference."""
+    from loss.flow import Iterative as RefIterative
+    import copy as _copy
+
+    passes, b = 3, 2
+    flows = rng.normal(size=(passes, S, b, RES[0], RES[1], 2)).astype(
+        np.float32
+    )
+    events = np.zeros((passes, b, N, 4), np.float32)
+    events[..., 0] = rng.uniform(0, 1, (passes, b, N))
+    events[..., 0, 0] = 0.0
+    events[..., 1] = rng.integers(0, RES[0], (passes, b, N))
+    events[..., 2] = rng.integers(0, RES[1], (passes, b, N))
+    events[..., 3] = rng.choice([-1.0, 1.0], (passes, b, N))
+    pol = np.stack([(events[..., 3] > 0), (events[..., 3] < 0)], -1).astype(
+        np.float32
+    )
+    grad_mask = np.ones((passes, b, N, 1), np.float32)
+    grad_mask[:, :, N_GRAD:] = 0.0
+
+    cfg = LossConfig(res=RES, passes_loss=passes)
+    ours, ours_grad = jax.value_and_grad(
+        lambda f: iterative_loss(
+            f, jnp.asarray(events), jnp.asarray(pol),
+            jnp.asarray(grad_mask), cfg,
+        )
+    )(jnp.asarray(flows))
+
+    import torch
+
+    config = _copy.deepcopy(ref_config(passes))
+    config["loader"]["batch_size"] = b
+    crit = RefIterative(config, torch.device("cpu"))
+    tflows = torch.from_numpy(np.moveaxis(flows, -1, 3).copy()).requires_grad_()
+    for p in range(passes):
+        crit.update(
+            [tflows[p, i] for i in range(S)],
+            torch_from(events[p, :, :N_GRAD]).clone(),
+            torch_from(pol[p, :, :N_GRAD]).clone(),
+            torch_from(events[p, :, N_GRAD:]).clone(),
+            torch_from(pol[p, :, N_GRAD:]).clone(),
+        )
+    ref = crit()
+    ref.backward()
+    np.testing.assert_allclose(float(ours), float(ref.detach()), rtol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(ours_grad), np.moveaxis(tflows.grad.numpy(), 3, -1),
+        rtol=2e-3, atol=2e-5,
+    )
