@@ -66,17 +66,21 @@ def main():
     t_full = timeit(step, state, window)
     print(f"full step: {t_full*1e3:.2f} ms")
 
+    # NOTE: every device array below is an explicit jit ARGUMENT — arrays
+    # closed over by a jitted fn are baked as HLO constants, which distorts
+    # timings by orders of magnitude on this stack.
+
     # model-only
-    def model_only(params):
-        def body(carry, x):
-            flows, nc = model.apply({"params": params}, x, carry)
+    def model_only(params, carry, net_input):
+        def body(c, x):
+            flows, nc = model.apply({"params": params}, x, c)
             return nc, flows
 
-        _, flows = jax.lax.scan(body, state.carry, window["net_input"])
+        _, flows = jax.lax.scan(body, carry, net_input)
         return jnp.sum(flows)
 
     g_model = jax.jit(jax.grad(model_only))
-    t_model = timeit(g_model, state.params)
+    t_model = timeit(g_model, state.params, state.carry, window["net_input"])
     print(f"model scan value+grad: {t_model*1e3:.2f} ms")
 
     # loss-only
@@ -85,14 +89,14 @@ def main():
         jnp.float32,
     )
 
-    def loss_only(flows):
-        return iterative_loss(
-            flows, window["event_list"], window["pol_mask"],
-            window["grad_mask"], cfg,
-        )
+    def loss_only(flows, ev, pm, gm):
+        return iterative_loss(flows, ev, pm, gm, cfg)
 
     g_loss = jax.jit(jax.value_and_grad(loss_only))
-    t_loss = timeit(g_loss, flows0)
+    t_loss = timeit(
+        g_loss, flows0, window["event_list"], window["pol_mask"],
+        window["grad_mask"],
+    )
     print(f"iterative loss value+grad: {t_loss*1e3:.2f} ms")
 
     # splat-only (one tref-scale accumulation: 10 windows x N events)
@@ -102,12 +106,14 @@ def main():
     pm = jnp.asarray(rng.integers(0, 2, (batch, 10 * n, 2)), jnp.float32)
     ts = jnp.asarray(rng.uniform(0, 1, (batch, 10 * n, 1)), jnp.float32)
 
-    f_splat = jax.jit(lambda l: iwe_with_ts(l, pm, ts, res))
-    t_splat = timeit(f_splat, loc)
+    f_splat = jax.jit(lambda l, p, t: iwe_with_ts(l, p, t, res))
+    t_splat = timeit(f_splat, loc, pm, ts)
     g_splat = jax.jit(
-        jax.grad(lambda l: sum(jnp.sum(o) for o in iwe_with_ts(l, pm, ts, res)))
+        jax.grad(
+            lambda l, p, t: sum(jnp.sum(o) for o in iwe_with_ts(l, p, t, res))
+        )
     )
-    tg_splat = timeit(g_splat, loc)
+    tg_splat = timeit(g_splat, loc, pm, ts)
     print(
         f"fused splat (81920 pts -> 128x128x4): fwd {t_splat*1e3:.3f} ms, "
         f"fwd+grad {tg_splat*1e3:.3f} ms"
