@@ -56,28 +56,38 @@ def forward_prop_flow_once(flow_map, res, dt: float = 1.0):
     """Push a flow map ``dt`` steps forward along itself (bilinear splat).
 
     Reference ``loss/flow_val.py:43-74`` (one linear warp of the pixel grid
-    by ``(tref - i) * flow`` followed by a weight-normalized splat).
+    by ``(tref - i) * flow`` followed by a weight-normalized splat). Two
+    TPU-side simplifications with identical numerics: sampling the map at the
+    exact integer grid is the map itself (the reference pays a full
+    ``grid_sample``), and the three weight/flow splats ride ONE batched
+    scatter with a 3-wide channel dim.
 
     :param flow_map: ``[B, H, W, 2]`` (x, y).
     :return: ``[B, H, W, 2]`` forward-propagated flow map.
     """
     b = flow_map.shape[0]
-    grid = jnp.broadcast_to(_grid(res, flow_map.dtype), (b, res[0] * res[1], 2))
-    ones = jnp.ones((b, res[0] * res[1], 1), flow_map.dtype)
+    hw = res[0] * res[1]
+    grid = jnp.broadcast_to(_grid(res, flow_map.dtype), (b, hw, 2))
 
-    flow_at = get_event_flow(flow_map, grid)  # [B, HW, 2] (y, x)
+    fm = flow_map.reshape(b, hw, 2)
+    flow_at = jnp.stack([fm[..., 1], fm[..., 0]], axis=-1)  # (y, x) per px
     warped = grid + dt * flow_at
+    ones = jnp.ones((b, hw, 1), flow_map.dtype)
     warped, mask = _purge(warped, ones, res)
 
-    idx, w = get_interpolation(warped, res)
+    idx, w = get_interpolation(warped, res)  # [B, 4HW], [B, 4HW, 1]
     mask4 = jnp.concatenate([mask] * 4, axis=1)
     flow4 = jnp.concatenate([flow_at] * 4, axis=1)
-    wsum = interpolate(idx, w, res, polarity_mask=mask4)
-    wy = interpolate(idx, w * flow4[..., 0:1], res, polarity_mask=mask4)
-    wx = interpolate(idx, w * flow4[..., 1:2], res, polarity_mask=mask4)
-    wy = wy / (wsum + 1e-9)
-    wx = wx / (wsum + 1e-9)
-    return jnp.concatenate([wx, wy], axis=-1)  # back to (x, y) channels
+    w = w * mask4
+    w3 = jnp.concatenate(
+        [w, w * flow4[..., 0:1], w * flow4[..., 1:2]], axis=-1
+    )  # (weight, w*fy, w*fx)
+    buf = jnp.zeros((b, hw, 3), flow_map.dtype)
+    buf = buf.at[jnp.arange(b)[:, None], idx].add(w3, mode="drop")
+    wsum = buf[..., 0:1]
+    wy = buf[..., 1:2] / (wsum + 1e-9)
+    wx = buf[..., 2:3] / (wsum + 1e-9)
+    return jnp.concatenate([wx, wy], axis=-1).reshape(b, res[0], res[1], 2)
 
 
 class ValState(NamedTuple):

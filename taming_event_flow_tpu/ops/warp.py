@@ -45,6 +45,41 @@ def event_propagation(event_ts, event_loc, event_flow, tref):
     return event_loc + (tref - event_ts) * event_flow
 
 
+_LANE = 128
+
+
+def gather_pixels(table, idx):
+    """TPU-fast 1-D gather: ``out[b, n] = table[b, idx[b, n]]``.
+
+    XLA's native TPU gather collapses to ~5 Mpts/s once the table exceeds a
+    few tens of thousands of entries (measured: 68 ms for 327k samples from
+    a 307k-entry table). This formulation gathers whole 128-lane *rows* —
+    which stays on the fast vector-load path — and resolves the lane with a
+    one-hot reduction on the VPU: two orders of magnitude faster at DSEC
+    resolution, identical numerics.
+
+    :param table: ``[B, T]`` values.
+    :param idx: ``[B, N]`` int32 indices in ``[0, T)``.
+    :return: ``[B, N]`` gathered values.
+    """
+    b, t = table.shape
+    if t <= 32768:
+        # small tables stay on XLA's native gather (faster there)
+        return jnp.take_along_axis(table, idx, axis=1)
+    rows = -(-t // _LANE)
+    pad = rows * _LANE - t
+    if pad:
+        table = jnp.pad(table, ((0, 0), (0, pad)))
+    tab = table.reshape(b, rows, _LANE)
+    row = idx // _LANE
+    lane = idx % _LANE
+    gathered = jnp.take_along_axis(tab, row[:, :, None], axis=1)  # [B,N,128]
+    onehot = (
+        lane[:, :, None] == jax.lax.broadcasted_iota(jnp.int32, (1, 1, _LANE), 2)
+    ).astype(table.dtype)
+    return jnp.sum(gathered * onehot, axis=-1)
+
+
 def bilinear_sample(img, loc):
     """Bilinearly sample a single-channel image at fractional locations.
 
@@ -79,7 +114,7 @@ def bilinear_sample(img, loc):
         yi = jnp.clip(yy, 0, h - 1).astype(jnp.int32)
         xi = jnp.clip(xx, 0, w - 1).astype(jnp.int32)
         flat = yi * w + xi
-        vals = jnp.take_along_axis(img_flat, flat, axis=1)
+        vals = gather_pixels(img_flat, flat)
         return vals * ww * valid.astype(img.dtype)
 
     out = (
@@ -266,8 +301,8 @@ def deblur_events(flow_map, event_list, res: Res, round_idx: bool = True,
         # nearest-pixel flow lookup (reference uses the truncated index)
         flat = (loc[:, :, 0] * res[1] + loc[:, :, 1]).astype(jnp.int32)
         fmap = flow_map.reshape(flow_map.shape[0], -1, 2)
-        event_fx = jnp.take_along_axis(fmap[..., 0], flat, axis=1)
-        event_fy = jnp.take_along_axis(fmap[..., 1], flat, axis=1)
+        event_fx = gather_pixels(fmap[..., 0], flat)
+        event_fy = gather_pixels(fmap[..., 1], flat)
         event_flow = jnp.stack([event_fy, event_fx], axis=-1)
     else:
         event_flow = get_event_flow(flow_map, loc)
