@@ -42,7 +42,7 @@ def bench_dsec_inference():
 
     val = IterativeValidation(ValConfig(res=res, passes=passes), 1, n_events)
     vstate = val.init()
-    update = jax.jit(val.update)
+    update = jax.jit(val.update, donate_argnums=(0,))
 
     rng = np.random.default_rng(0)
     ev = np.zeros((1, n_events, 4), np.float32)

@@ -103,7 +103,8 @@ def test(args, config_parser: YAMLParser):
     n_slots = config["loader"].get("n_events_pad") or 4096
     criteria = val_cls(val_cfg, 1, n_slots)
     vstate = criteria.init()
-    update = jax.jit(criteria.update)
+    # donate the slot state: XLA updates the big per-pass buffers in place
+    update = jax.jit(criteria.update, donate_argnums=(0,))
 
     from taming_event_flow_tpu.utils import ProgressBar
 
@@ -141,7 +142,7 @@ def test(args, config_parser: YAMLParser):
         if n_batch > criteria.n_events:
             criteria = val_cls(val_cfg, 1, n_batch)
             vstate = grow_val_state(vstate, n_batch)
-            update = jax.jit(criteria.update)
+            update = jax.jit(criteria.update, donate_argnums=(0,))
         elif n_batch < criteria.n_events:
             batch = pad_batch_events(batch, criteria.n_events)
 
