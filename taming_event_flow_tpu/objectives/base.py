@@ -158,12 +158,14 @@ def flow_temporal_smoothing(flow_seq_per_scale, res, weight: float):
     :param flow_seq_per_scale: list over scales of ``[B, P, H, W, 2]``.
     """
     h, w = res
-    yy, xx = jnp.meshgrid(
-        jnp.arange(h, dtype=jnp.float32),
-        jnp.arange(w, dtype=jnp.float32),
-        indexing="ij",
-    )
-    grid = jnp.stack([yy, xx], axis=-1).reshape(1, -1, 2)  # [1, HW, 2] (y, x)
+    # on-device iota grid — a jnp.arange/meshgrid here would embed a large
+    # HLO constant, which is catastrophically slow on TPU (see
+    # metrics/validation._grid)
+    flat = jax.lax.broadcasted_iota(jnp.int32, (1, h * w), 1)
+    grid = jnp.stack(
+        [(flat // w).astype(jnp.float32), (flat % w).astype(jnp.float32)],
+        axis=-1,
+    )  # [1, HW, 2] (y, x)
 
     total = 0.0
     num_passes = flow_seq_per_scale[0].shape[1]
