@@ -82,6 +82,22 @@ def primitive_bench(rng):
             f"gather-ours[{tag}]: {t*1e3:.2f} ms ({n_pts/t/1e6:.0f} Mpt/s)"
         )
 
+        from taming_event_flow_tpu.ops.mxu_lookup import gather_mxu, splat_mxu
+
+        t = timeit(jax.jit(gather_mxu), table, idx, iters=10)
+        print(
+            f"gather-mxu[{tag}]: {t*1e3:.2f} ms ({n_pts/t/1e6:.0f} Mpt/s)"
+        )
+        t = timeit(jax.jit(lambda i, v: splat_mxu(i, v, hw)), idx, w4,
+                   iters=10)
+        print(
+            f"splat-mxu[{tag}]: {t*1e3:.2f} ms ({n_pts/t/1e6:.0f} Mupd/s)"
+        )
+        g = jax.jit(jax.grad(
+            lambda v, i: jnp.sum(splat_mxu(i, v, hw) ** 2), argnums=0))
+        t = timeit(g, w4, idx, iters=10)
+        print(f"splat-mxu-grad[{tag}]: {t*1e3:.2f} ms")
+
     # MXU one-hot splat alternative at train scale
     hw = TRAIN_RES[0] * TRAIN_RES[1]
     m = 4 * 10 * 8192

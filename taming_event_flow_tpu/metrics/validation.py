@@ -87,8 +87,9 @@ def forward_prop_flow_once(flow_map, res, dt: float = 1.0):
     w3 = jnp.concatenate(
         [w, w * flow4[..., 0:1], w * flow4[..., 1:2]], axis=-1
     )  # (weight, w*fy, w*fx)
-    buf = jnp.zeros((b, hw, 3), flow_map.dtype)
-    buf = buf.at[jnp.arange(b)[:, None], idx].add(w3, mode="drop")
+    from ..ops.warp import splat_channels
+
+    buf = splat_channels(idx, w3, res)
     wsum = buf[..., 0:1]
     wy = buf[..., 1:2] / (wsum + 1e-9)
     wx = buf[..., 2:3] / (wsum + 1e-9)

@@ -90,10 +90,9 @@ def iwe_with_ts(warped_loc, pol_mask, norm_ts, res):
         ],
         axis=-1,
     )  # [B, 4N, 4]
-    hw = res[0] * res[1]
-    buf = jnp.zeros((b, hw, 4), dtype=w4.dtype)
-    buf = buf.at[jnp.arange(b)[:, None], idx].add(w4, mode="drop")
-    buf = buf.reshape(b, res[0], res[1], 4)
+    from ..ops.warp import splat_channels
+
+    buf = splat_channels(idx, w4, res).reshape(b, res[0], res[1], 4)
     return buf[..., 0:2], buf[..., 2:4]
 
 
