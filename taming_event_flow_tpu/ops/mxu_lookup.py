@@ -108,3 +108,67 @@ def splat_mxu(idx, weights, hw: int,
         tiles.append(jnp.stack(chans, axis=-1))  # [B, 128, 128, C]
     out = jnp.stack(tiles, axis=1).reshape(b, n_tiles * _TILE, c)
     return out[:, :hw]
+
+
+# --------------------------------------------------------------- separable
+
+
+def _axis_weights(coord, size: int, dtype):
+    """Triangle (bilinear) weights of a fractional coordinate against every
+    integer position of an axis: ``max(0, 1 - |coord - i|)``.
+
+    Exactly the per-axis factor of the 4-tap bilinear stencil — taps outside
+    ``[0, size)`` simply have no column, matching the reference's bounds
+    masking (``utils/iwe.py:103-107``) and zero-padded ``grid_sample``.
+    """
+    iota = jax.lax.broadcasted_iota(
+        jnp.int32, (1,) * coord.ndim + (size,), coord.ndim
+    ).astype(dtype)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(coord[..., None] - iota))
+
+
+def bilinear_gather_separable(img, loc,
+                              precision=jax.lax.Precision.HIGHEST):
+    """Bilinear sampling as two dense contractions (small maps).
+
+    ``out[e] = Σ_h Σ_w wy[e,h] · wx[e,w] · img[h,w]`` — the bilinear kernel
+    factorizes per axis, so sampling M points from an ``[H, W]`` map is one
+    ``[M,W]x[W,H]`` matmul + a masked row-reduction: pure MXU work instead
+    of a serialized gather. Cost M·H·W MACs — use only for maps up to
+    ~128x128 (the training resolution).
+
+    :param img: ``[B, H, W]``.
+    :param loc: ``[B, M, 2]`` fractional ``(y, x)``.
+    :return: ``[B, M]``.
+    """
+    h, w = img.shape[1], img.shape[2]
+    wy = _axis_weights(loc[..., 0], h, img.dtype)  # [B, M, H]
+    wx = _axis_weights(loc[..., 1], w, img.dtype)  # [B, M, W]
+    a = jnp.einsum("bmw,bhw->bmh", wx, img, precision=precision)
+    return jnp.sum(wy * a, axis=-1)
+
+
+def bilinear_splat_separable(loc, values, res: Tuple[int, int],
+                             precision=jax.lax.Precision.HIGHEST):
+    """Bilinear scatter-add as one dense matmul per channel (small maps).
+
+    ``out[h,w,c] = Σ_e wy[e,h] · wx[e,w] · values[e,c]`` =
+    ``(Wy ⊙ v_c)ᵀ @ Wx``. Replaces the 4-tap index expansion + XLA scatter
+    (23-65 M updates/s measured) with MXU matmuls; numerics are identical to
+    the reference stencil because the bilinear weight factorizes exactly.
+
+    :param loc: ``[B, M, 2]`` fractional ``(y, x)`` (already purged).
+    :param values: ``[B, M, C]`` per-event channel values (masked weights).
+    :return: ``[B, H, W, C]``.
+    """
+    h, w = res
+    dtype = values.dtype
+    wy = _axis_weights(loc[..., 0], h, dtype)  # [B, M, H]
+    wx = _axis_weights(loc[..., 1], w, dtype)  # [B, M, W]
+    chans = []
+    for c in range(values.shape[-1]):
+        wyv = wy * values[..., c : c + 1]
+        chans.append(
+            jnp.einsum("bmh,bmw->bhw", wyv, wx, precision=precision)
+        )
+    return jnp.stack(chans, axis=-1)

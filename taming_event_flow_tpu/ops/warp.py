@@ -98,6 +98,11 @@ def bilinear_sample(img, loc):
     :return: ``[B, N]`` sampled values.
     """
     h, w = img.shape[1], img.shape[2]
+    if h * w <= 16384:
+        # training-scale maps: separable dense contraction on the MXU
+        from .mxu_lookup import bilinear_gather_separable
+
+        return bilinear_gather_separable(img, loc)
     y = loc[..., 0]
     x = loc[..., 1]
 
