@@ -19,6 +19,18 @@ import time
 import numpy as np
 
 
+def _sync(out):
+    """True device-completion sync: host readback of one element.
+
+    block_until_ready returns at dispatch on this remote-TPU stack (verified
+    by profiler trace), so all timing uses an explicit readback barrier.
+    """
+    import jax
+
+    leaves = [l for l in jax.tree.leaves(out) if hasattr(l, "dtype")]
+    np.asarray(jax.device_get(leaves[0].ravel()[:1]))
+
+
 def bench_dsec_inference():
     """DSEC-Flow benchmark shape: 480x640, gtflow window=0.1 (10 ms of
     events per pass, 10 passes per GT frame). Measures model forward + the
@@ -60,14 +72,14 @@ def bench_dsec_inference():
     # warmup
     flows, carry = forward(params, carry, x)
     vstate = update(vstate, flows[-1], ev, pol, emask)
-    jax.block_until_ready(vstate.fw_loc)
+    _sync(vstate.fw_loc)
 
-    iters = 20
+    iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
         flows, carry = forward(params, carry, x)
         vstate = update(vstate, flows[-1], ev, pol, emask)
-    jax.block_until_ready(vstate.fw_loc)
+    _sync(vstate.fw_loc)
     per_pass = (time.perf_counter() - t0) / iters
     return {
         "pass_ms": round(per_pass * 1e3, 2),
@@ -117,13 +129,13 @@ def main():
 
     # warmup / compile
     state, loss = step(state, window)
-    jax.block_until_ready(loss)
+    _sync(loss)
 
     iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
         state, loss = step(state, window)
-    jax.block_until_ready(loss)
+    _sync(loss)
     dt = (time.perf_counter() - t0) / iters
 
     # events warped per optimizer step: P windows x N events, each warped

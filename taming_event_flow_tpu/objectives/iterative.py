@@ -119,8 +119,11 @@ def warp_table(flow_maps, event_loc, event_ts, pol_mask, res,
     taus = jnp.arange(p, dtype=event_ts.dtype)
     init = (event_loc, event_ts, pol_mask)
 
-    fw_step = jax.checkpoint(fw_step)
-    bw_step = jax.checkpoint(bw_step)
+    import os
+
+    if os.environ.get("TEF_WARP_REMAT", "1") != "0":
+        fw_step = jax.checkpoint(fw_step)
+        bw_step = jax.checkpoint(bw_step)
 
     _, (fw_loc, fw_mask) = jax.lax.scan(fw_step, init, (taus, flow_maps))
     _, (bw_loc, bw_mask) = jax.lax.scan(

@@ -25,11 +25,27 @@ unchanged.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+
+
+def default_precision():
+    """Matmul precision for the lookup/separable ops.
+
+    HIGHEST (6-pass bf16 = ~f32) by default for reference parity;
+    set TEF_MATMUL_PRECISION=default|high for faster MXU passes when
+    training tolerates bf16 accumulation of the warp stencils.
+    """
+    name = os.environ.get("TEF_MATMUL_PRECISION", "highest").lower()
+    return {
+        "default": jax.lax.Precision.DEFAULT,
+        "high": jax.lax.Precision.HIGH,
+        "highest": jax.lax.Precision.HIGHEST,
+    }[name]
 
 _LANE = 128
 _ROWS = 128
@@ -42,13 +58,14 @@ def _onehot(vals, size: int, dtype):
     return (vals[..., None] == iota).astype(dtype)
 
 
-def gather_mxu(table, idx, precision=jax.lax.Precision.HIGHEST):
+def gather_mxu(table, idx, precision=None):
     """``out[b, m] = table[b, idx[b, m]]`` via one-hot matmuls.
 
     :param table: ``[B, T]`` float values.
     :param idx: ``[B, M]`` int32 in ``[0, T)`` (out-of-range rows read 0).
     :return: ``[B, M]``.
     """
+    precision = precision or default_precision()
     b, t = table.shape
     n_tiles = -(-t // _TILE)
     pad = n_tiles * _TILE - t
@@ -74,14 +91,14 @@ def gather_mxu(table, idx, precision=jax.lax.Precision.HIGHEST):
     return out
 
 
-def splat_mxu(idx, weights, hw: int,
-              precision=jax.lax.Precision.HIGHEST):
+def splat_mxu(idx, weights, hw: int, precision=None):
     """Scatter-add ``out[b, idx[b, m], c] += weights[b, m, c]`` via matmuls.
 
     :param idx: ``[B, M]`` int32 in ``[0, hw)``.
     :param weights: ``[B, M, C]``.
     :return: ``[B, hw, C]``.
     """
+    precision = precision or default_precision()
     b, m = idx.shape
     c = weights.shape[-1]
     n_tiles = -(-hw // _TILE)
@@ -127,8 +144,7 @@ def _axis_weights(coord, size: int, dtype):
     return jnp.maximum(0.0, 1.0 - jnp.abs(coord[..., None] - iota))
 
 
-def bilinear_gather_separable(img, loc,
-                              precision=jax.lax.Precision.HIGHEST):
+def bilinear_gather_separable(img, loc, precision=None):
     """Bilinear sampling as two dense contractions (small maps).
 
     ``out[e] = Σ_h Σ_w wy[e,h] · wx[e,w] · img[h,w]`` — the bilinear kernel
@@ -141,6 +157,7 @@ def bilinear_gather_separable(img, loc,
     :param loc: ``[B, M, 2]`` fractional ``(y, x)``.
     :return: ``[B, M]``.
     """
+    precision = precision or default_precision()
     h, w = img.shape[1], img.shape[2]
     wy = _axis_weights(loc[..., 0], h, img.dtype)  # [B, M, H]
     wx = _axis_weights(loc[..., 1], w, img.dtype)  # [B, M, W]
@@ -149,7 +166,7 @@ def bilinear_gather_separable(img, loc,
 
 
 def bilinear_splat_separable(loc, values, res: Tuple[int, int],
-                             precision=jax.lax.Precision.HIGHEST):
+                             precision=None):
     """Bilinear scatter-add as one dense matmul per channel (small maps).
 
     ``out[h,w,c] = Σ_e wy[e,h] · wx[e,w] · values[e,c]`` =
@@ -161,6 +178,7 @@ def bilinear_splat_separable(loc, values, res: Tuple[int, int],
     :param values: ``[B, M, C]`` per-event channel values (masked weights).
     :return: ``[B, H, W, C]``.
     """
+    precision = precision or default_precision()
     h, w = res
     dtype = values.dtype
     wy = _axis_weights(loc[..., 0], h, dtype)  # [B, M, H]
