@@ -147,6 +147,19 @@ def _axis_weights(coord, size: int, dtype):
     return jnp.maximum(0.0, 1.0 - jnp.abs(coord[..., None] - iota))
 
 
+def _factor_dtype(precision, dtype):
+    """Materialize triangle/one-hot factors in bf16 under DEFAULT precision:
+    the matmul would round them to bf16 anyway, and the separable ops are
+    HBM-bound on exactly these [M, 128] factor tensors."""
+    if (
+        precision == jax.lax.Precision.DEFAULT
+        and dtype == jnp.float32
+        and jax.devices()[0].platform != "cpu"
+    ):
+        return jnp.bfloat16
+    return dtype
+
+
 def bilinear_gather_separable(img, loc, precision=None):
     """Bilinear sampling as two dense contractions (small maps).
 
@@ -162,10 +175,14 @@ def bilinear_gather_separable(img, loc, precision=None):
     """
     precision = precision or default_precision()
     h, w = img.shape[1], img.shape[2]
-    wy = _axis_weights(loc[..., 0], h, img.dtype)  # [B, M, H]
-    wx = _axis_weights(loc[..., 1], w, img.dtype)  # [B, M, W]
-    a = jnp.einsum("bmw,bhw->bmh", wx, img, precision=precision)
-    return jnp.sum(wy * a, axis=-1)
+    fdt = _factor_dtype(precision, img.dtype)
+    wy = _axis_weights(loc[..., 0], h, fdt)  # [B, M, H]
+    wx = _axis_weights(loc[..., 1], w, fdt)  # [B, M, W]
+    a = jnp.einsum(
+        "bmw,bhw->bmh", wx, img.astype(fdt), precision=precision,
+        preferred_element_type=jnp.float32,
+    )
+    return jnp.sum(wy.astype(jnp.float32) * a, axis=-1).astype(img.dtype)
 
 
 def bilinear_splat_separable(loc, values, res: Tuple[int, int],
@@ -184,12 +201,16 @@ def bilinear_splat_separable(loc, values, res: Tuple[int, int],
     precision = precision or default_precision()
     h, w = res
     dtype = values.dtype
-    wy = _axis_weights(loc[..., 0], h, dtype)  # [B, M, H]
-    wx = _axis_weights(loc[..., 1], w, dtype)  # [B, M, W]
+    fdt = _factor_dtype(precision, dtype)
+    wy = _axis_weights(loc[..., 0], h, fdt)  # [B, M, H]
+    wx = _axis_weights(loc[..., 1], w, fdt)  # [B, M, W]
     chans = []
     for c in range(values.shape[-1]):
-        wyv = wy * values[..., c : c + 1]
+        wyv = wy * values[..., c : c + 1].astype(fdt)
         chans.append(
-            jnp.einsum("bmh,bmw->bhw", wyv, wx, precision=precision)
+            jnp.einsum(
+                "bmh,bmw->bhw", wyv, wx, precision=precision,
+                preferred_element_type=jnp.float32,
+            )
         )
-    return jnp.stack(chans, axis=-1)
+    return jnp.stack(chans, axis=-1).astype(dtype)
