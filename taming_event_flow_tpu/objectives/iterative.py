@@ -125,9 +125,12 @@ def warp_table(flow_maps, event_loc, event_ts, pol_mask, res,
         fw_step = jax.checkpoint(fw_step)
         bw_step = jax.checkpoint(bw_step)
 
-    _, (fw_loc, fw_mask) = jax.lax.scan(fw_step, init, (taus, flow_maps))
+    unroll = int(os.environ.get("TEF_SCAN_UNROLL", "1"))
+    _, (fw_loc, fw_mask) = jax.lax.scan(
+        fw_step, init, (taus, flow_maps), unroll=unroll
+    )
     _, (bw_loc, bw_mask) = jax.lax.scan(
-        bw_step, init, (taus, flow_maps), reverse=True
+        bw_step, init, (taus, flow_maps), reverse=True, unroll=unroll
     )
     # fw_loc[τ] records tref = τ+1 (valid for t ≤ τ, i.e. t < tref);
     # bw_loc[τ] records tref = τ   (valid for t ≥ τ, i.e. t ≥ tref).
