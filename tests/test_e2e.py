@@ -172,3 +172,43 @@ def test_warm_start_resume(trained_run):
     with open(os.path.join(run_dir, "metrics", "loss")) as f:
         lines = f.readlines()
     assert len(lines) >= 2  # replayed history + new epochs
+
+
+def test_dsec_submission_formatter_real_metadata(tmp_path):
+    """Formatter against the benchmark metadata shipped in-repo
+    (``dsec_submissions/``, carried over from the reference's
+    ``dsec_submissions/*.{txt,npy}``): real flags + file_index tables,
+    synthetic PNGs."""
+    import shutil
+
+    import prepare_dsec_submission as prep
+
+    repo_meta = os.path.join(os.path.dirname(prep.__file__),
+                             "dsec_submissions")
+    seq = "thun_01_a"
+    flags = np.load(os.path.join(repo_meta, seq + "_flag.npy"))
+    table = np.genfromtxt(os.path.join(repo_meta, seq + ".txt"),
+                          skip_header=1, delimiter=",")
+    assert int(flags.sum()) == table.shape[0]
+
+    sub_root = tmp_path / "dsec_submissions"
+    sub_root.mkdir()
+    for name in (seq + ".txt", seq + "_flag.npy"):
+        shutil.copy(os.path.join(repo_meta, name), sub_root / name)
+
+    flow_dir = sub_root / "runX" / "eval_0" / seq / "flow_bw"
+    flow_dir.mkdir(parents=True)
+    png = encode_dsec_flow(np.zeros((4, 4, 2), np.float32))
+    import cv2
+
+    for i in range(len(flags)):
+        cv2.imwrite(str(flow_dir / f"{i:09d}.png"), png)
+
+    args = argparse.Namespace(runid="runX", path=str(sub_root) + "/",
+                              eval_id=0)
+    prep.prepare(args)
+
+    out = sub_root / "runX" / "eval_0" / "submission" / seq
+    produced = sorted(os.listdir(out))
+    expected = sorted(f"{int(fi):06d}.png" for fi in table[:, -1])
+    assert produced == expected
