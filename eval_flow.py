@@ -67,6 +67,10 @@ def test(args, config_parser: YAMLParser):
     config = config_parser.merge_configs(run.data.params)
     config = config_parser.combine_entries(config)
 
+    from taming_event_flow_tpu.ops.precision import set_matmul_precision
+
+    set_matmul_precision(config["loss"].get("matmul_precision", "default"))
+
     config["loader"]["batch_size"] = 1
     res = tuple(config["loader"]["resolution"])
     passes = config["data"]["passes_loss"]

@@ -14,7 +14,8 @@ from taming_event_flow_tpu.training.step import init_train_state
 res, passes, batch, n = (128,128), 10, 1, 8192
 cd = os.environ.get("TEF_BENCH_CDTYPE") or None
 model = RecEVFlowNet(num_bins=2, final_w_scale=0.01, compute_dtype=cd)
-cfg = LossConfig(res=res, passes_loss=passes)
+cfg = LossConfig(res=res, passes_loss=passes,
+                 scan_unroll=int(os.environ.get("TEF_SCAN_UNROLL", "1")))
 opt = build_optimizer({"name":"Adam","lr":1e-5}, clip_grad=100.0)
 state = init_train_state(model, opt, batch, res[0], res[1], 2)
 step = make_train_step(model, opt, cfg, "Iterative", 32.0, donate=False)

@@ -7,16 +7,19 @@ import subprocess
 import sys
 
 CHILD = """
-import numpy as np, jax, jax.numpy as jnp, sys
+import numpy as np, jax, jax.numpy as jnp, sys, os
 sys.path.insert(0, "/root/repo"); sys.path.insert(0, "/root/repo/scripts")
 from bench_util import timeit
 from taming_event_flow_tpu.models import RecEVFlowNet
 from taming_event_flow_tpu.objectives import LossConfig
+from taming_event_flow_tpu.ops.precision import set_matmul_precision
 from taming_event_flow_tpu.training import build_optimizer, make_train_step
 from taming_event_flow_tpu.training.step import init_train_state
 res, passes, batch, n = (128,128), 10, 1, 8192
+set_matmul_precision(os.environ.get("TEF_MATMUL_PRECISION", "default"))
 model = RecEVFlowNet(num_bins=2, final_w_scale=0.01)
-cfg = LossConfig(res=res, passes_loss=passes)
+cfg = LossConfig(res=res, passes_loss=passes,
+                 warp_remat=os.environ.get("TEF_WARP_REMAT", "1") != "0")
 opt = build_optimizer({"name":"Adam","lr":1e-5}, clip_grad=100.0)
 state = init_train_state(model, opt, batch, res[0], res[1], 2)
 step = make_train_step(model, opt, cfg, "Iterative", 32.0, donate=False)

@@ -51,6 +51,10 @@ DEFAULTS: Dict[str, Any] = {
         "flow_spat_smooth_weight": None,
         "flow_temp_smooth_weight": None,
         "clip_grad": None,
+        # performance knobs (read at trace time, never from the environment)
+        "matmul_precision": "default",  # default | high | highest (~f32)
+        "warp_remat": True,  # remat warp-scan steps (memory vs FLOPs)
+        "scan_unroll": 1,  # unroll factor for warp/model scans
     },
     "metrics": {},
     "optimizer": {"name": "Adam", "lr": 1e-5},

@@ -33,6 +33,10 @@ class LossConfig(NamedTuple):
     border_compensation: bool = True
     flow_spat_smooth_weight: Optional[float] = None
     flow_temp_smooth_weight: Optional[float] = None
+    # compile-time performance knobs (YAML ``loss`` section; see
+    # ``configs/parser.py`` DEFAULTS)
+    warp_remat: bool = True  # rematerialize warp-scan steps (memory vs FLOPs)
+    scan_unroll: int = 1  # unroll factor for the warp/model scans
 
     @property
     def passes_list(self) -> Sequence[int]:

@@ -70,7 +70,7 @@ def _purge(loc, mask, res):
 
 
 def warp_table(flow_maps, event_loc, event_ts, pol_mask, res,
-               grad_mask=None):
+               grad_mask=None, remat: bool = True, unroll: int = 1):
     """Build the full (tref × window) iterative warp table with two scans.
 
     :param flow_maps: ``[P, B, H, W, 2]`` flow sequence for one scale.
@@ -119,13 +119,10 @@ def warp_table(flow_maps, event_loc, event_ts, pol_mask, res,
     taus = jnp.arange(p, dtype=event_ts.dtype)
     init = (event_loc, event_ts, pol_mask)
 
-    import os
-
-    if os.environ.get("TEF_WARP_REMAT", "1") != "0":
+    if remat:
         fw_step = jax.checkpoint(fw_step)
         bw_step = jax.checkpoint(bw_step)
 
-    unroll = int(os.environ.get("TEF_SCAN_UNROLL", "1"))
     _, (fw_loc, fw_mask) = jax.lax.scan(
         fw_step, init, (taus, flow_maps), unroll=unroll
     )
@@ -169,7 +166,8 @@ def iterative_loss(flows, event_list, pol_mask, grad_mask, cfg: LossConfig):
     loss = 0.0
     for i in range(s_scales):
         tbl_loc, tbl_mask = warp_table(
-            flows[:, i], loc, ts, pol_mask, cfg.res, grad_mask=grad_mask
+            flows[:, i], loc, ts, pol_mask, cfg.res, grad_mask=grad_mask,
+            remat=cfg.warp_remat, unroll=cfg.scan_unroll,
         )
 
         for s, scale in enumerate(cfg.passes_list):

@@ -25,30 +25,13 @@ unchanged.
 
 from __future__ import annotations
 
-import os
 from functools import partial
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 
-
-def default_precision():
-    """Matmul precision for the lookup/separable ops.
-
-    HIGHEST (6-pass bf16 = ~f32) by default for reference parity;
-    set TEF_MATMUL_PRECISION=default|high for faster MXU passes when
-    training tolerates bf16 accumulation of the warp stencils.
-    """
-    # measured on the 10-pass training step: bf16 passes halve the step
-    # (180 -> 89 ms) with the loss identical to 2e-6; "highest" (~f32)
-    # remains available for strict-parity runs
-    name = os.environ.get("TEF_MATMUL_PRECISION", "default").lower()
-    return {
-        "default": jax.lax.Precision.DEFAULT,
-        "high": jax.lax.Precision.HIGH,
-        "highest": jax.lax.Precision.HIGHEST,
-    }[name]
+from .precision import get_matmul_precision as default_precision
 
 _LANE = 128
 _ROWS = 128

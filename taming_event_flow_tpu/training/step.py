@@ -76,11 +76,9 @@ def make_train_step(model, optimizer, loss_cfg: LossConfig,
                 )
                 return new_carry, flows * flow_scaling
 
-            import os
-
             new_carry, flows = jax.lax.scan(
                 body, state.carry, window["net_input"],
-                unroll=int(os.environ.get("TEF_SCAN_UNROLL", "1")),
+                unroll=loss_cfg.scan_unroll,
             )  # flows: [P, S, B, H, W, 2]
             loss = loss_fn(
                 flows,

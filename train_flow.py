@@ -76,6 +76,10 @@ def train(args, config_parser: YAMLParser):
 
     data = H5Loader(config, shuffle=True, path_cache=args.path_cache)
 
+    from taming_event_flow_tpu.ops.precision import set_matmul_precision
+
+    set_matmul_precision(config["loss"].get("matmul_precision", "default"))
+
     model = build_model(dict(config["model"]), num_bins=num_bins)
     loss_cfg = LossConfig(
         res=res,
@@ -85,6 +89,8 @@ def train(args, config_parser: YAMLParser):
         round_ts=config["loss"].get("round_ts", False),
         flow_spat_smooth_weight=config["loss"].get("flow_spat_smooth_weight"),
         flow_temp_smooth_weight=config["loss"].get("flow_temp_smooth_weight"),
+        warp_remat=bool(config["loss"].get("warp_remat", True)),
+        scan_unroll=int(config["loss"].get("scan_unroll", 1)),
     )
     optimizer = build_optimizer(
         config["optimizer"], clip_grad=config["loss"].get("clip_grad")
