@@ -15,6 +15,7 @@ from .checkpoint import (
     load_checkpoint,
     load_reference_torch_checkpoint,
 )
+from .tensorboard import TensorBoardMirror
 
 __all__ = [
     "TrackingStore",
@@ -30,4 +31,5 @@ __all__ = [
     "save_checkpoint",
     "load_checkpoint",
     "load_reference_torch_checkpoint",
+    "TensorBoardMirror",
 ]

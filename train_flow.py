@@ -63,11 +63,14 @@ def train(args, config_parser: YAMLParser):
     config = config_parser.combine_entries(config)
     print("Run id:", runid)
 
-    # observability: git-diff snapshot (reference ``train_flow.py:36``)
+    # observability: git-diff snapshot + TensorBoard mirror (reference
+    # ``train_flow.py:36-37``)
     from taming_event_flow_tpu.utils import StepMeter, save_diff
+    from taming_event_flow_tpu.tracking.tensorboard import TensorBoardMirror
 
     save_diff("train_diff.txt")
     meter = StepMeter()
+    tb = TensorBoardMirror(runid)
 
     res = tuple(config["loader"]["resolution"])
     batch_size = config["loader"]["batch_size"]
@@ -121,6 +124,7 @@ def train(args, config_parser: YAMLParser):
                 args.prev_runid, "loss"
             ):
                 tracking.log_metric("loss", v, step=s)
+                tb.add_scalar("loss", v, s)
     data.epoch = epoch
 
     step_fn = make_train_step(
@@ -154,6 +158,7 @@ def train(args, config_parser: YAMLParser):
         if data.seq_num >= len(data.files):  # epoch rollover
             avg = train_loss / max(data.samples, 1)
             tracking.log_metric("loss", avg, step=data.epoch)
+            tb.add_scalar("loss", avg, data.epoch)
             if avg < best_loss:
                 save_checkpoint(
                     runid, jax.device_get(state.params),
@@ -198,6 +203,7 @@ def train(args, config_parser: YAMLParser):
                 end="\r",
             )
 
+    tb.close()
     tracking.end_run()
     return runid
 
