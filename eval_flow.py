@@ -144,6 +144,17 @@ def test(args, config_parser: YAMLParser):
 
         n_batch = batch["event_list"].shape[1]
         if n_batch > criteria.n_events:
+            # only reachable without a loader.n_events_pad cap: growing the
+            # event axis re-jits the whole update program (minutes on a cold
+            # TPU) — set a per-dataset cap (configs/eval_*.yml) to avoid it
+            import warnings
+
+            warnings.warn(
+                f"event bucket grew {criteria.n_events} -> {n_batch}; "
+                "recompiling the validation update. Set loader.n_events_pad "
+                "to a static per-dataset cap to compile once.",
+                stacklevel=2,
+            )
             criteria = val_cls(val_cfg, 1, n_batch)
             vstate = grow_val_state(vstate, n_batch)
             update = jax.jit(criteria.update, donate_argnums=(0,))

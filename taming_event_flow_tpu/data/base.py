@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import math
 import random
+import warnings
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -110,6 +111,7 @@ class BaseStreamLoader:
         self.voxel_bins = config["data"].get("voxel", None)
         self.max_grad_events = config["loader"].get("max_num_grad_events")
         self.fixed_n = config["loader"].get("n_events_pad")
+        self.truncated_events = 0
         self.rng = np.random.default_rng(config["loader"].get("seed"))
 
         # per-lane augmentation flags, re-rolled per sequence
@@ -263,6 +265,17 @@ class BaseStreamLoader:
         ragged = {"event_list", "event_list_pol_mask", "grad_mask"}
         max_n = max(s["event_list"].shape[0] for s in samples)
         n_pad = bucket_size(max_n, self.fixed_n)
+        if self.fixed_n is not None and max_n > self.fixed_n:
+            # a fixed cap keeps the device program static, at the price of
+            # dropping the overflow; pick loader.n_events_pad >= the
+            # dataset's p99 window so this stays rare
+            self.truncated_events += max_n - self.fixed_n
+            warnings.warn(
+                f"event window of {max_n} exceeds n_events_pad="
+                f"{self.fixed_n}; truncating "
+                f"({self.truncated_events} events dropped so far)",
+                stacklevel=2,
+            )
         batch = {}
         for key in samples[0]:
             items = []

@@ -254,3 +254,25 @@ def test_voxel_parity_with_reference_loader(tmp_path):
         np.moveaxis(r["net_input"].numpy(), 0, -1),
         atol=1e-4,
     )
+
+
+def test_fixed_event_cap_truncates_with_warning(dataset_dir):
+    cfg = make_config(dataset_dir, mode="events", window=500)
+    cfg["loader"]["n_events_pad"] = 128  # deliberately below the window size
+    loader = H5Loader(cfg)
+    with pytest.warns(UserWarning, match="n_events_pad"):
+        batch = loader.next_batch()
+    assert batch["event_list"].shape[1] == 128
+    assert loader.truncated_events > 0
+
+    # cap above the window size: static shape, no warning, no truncation
+    cfg2 = make_config(dataset_dir, mode="events", window=500)
+    cfg2["loader"]["n_events_pad"] = 1024
+    loader2 = H5Loader(cfg2)
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        b2 = loader2.next_batch()
+    assert b2["event_list"].shape[1] == 1024
+    assert loader2.truncated_events == 0
