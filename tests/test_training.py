@@ -126,3 +126,66 @@ def test_data_parallel_mesh_matches_single_device(rng):
     # params stay replicated & finite after the distributed update
     leaf = jax.tree.leaves(new_state.params)[0]
     assert np.all(np.isfinite(np.asarray(leaf)))
+
+
+def test_mesh_grad_allreduce_param_equivalence(rng):
+    """The distributed update (XLA psum over the data axis) produces the
+    same new parameters and per-lane carries as the single-device step."""
+    batch = 8
+    model = tiny_model()
+    cfg = LossConfig(res=RES, passes_loss=P_PASSES)
+    opt = build_optimizer({"name": "Adam", "lr": 1e-3}, clip_grad=100.0)
+    state = init_train_state(model, opt, batch, RES[0], RES[1], 2)
+    step = make_train_step(model, opt, cfg, "Iterative", flow_scaling=4.0,
+                           donate=False)
+    window = {k: jnp.asarray(v) for k, v in make_window(rng, batch).items()}
+
+    ref_state, _ = step(state, window)
+
+    mesh = make_mesh(8)
+    dp_state, _ = step(shard_state(state, mesh), shard_window(window, mesh))
+
+    for a, b in zip(jax.tree.leaves(dp_state.params),
+                    jax.tree.leaves(ref_state.params)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-6
+        )
+    for a, b in zip(jax.tree.leaves(dp_state.carry),
+                    jax.tree.leaves(ref_state.carry)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5
+        )
+
+
+def test_mesh_per_lane_carry_isolation(rng):
+    """Perturbing one lane's window changes only that lane's carry: lanes
+    stay independent event streams across the device mesh."""
+    batch = 8
+    model = tiny_model()
+    cfg = LossConfig(res=RES, passes_loss=P_PASSES)
+    opt = build_optimizer({"name": "Adam", "lr": 1e-3}, clip_grad=100.0)
+    state = init_train_state(model, opt, batch, RES[0], RES[1], 2)
+    step = make_train_step(model, opt, cfg, "Iterative", flow_scaling=4.0,
+                           donate=False)
+    mesh = make_mesh(8)
+    window = {k: jnp.asarray(v) for k, v in make_window(rng, batch).items()}
+
+    base_state, _ = step(shard_state(state, mesh), shard_window(window, mesh))
+
+    lane = 3
+    perturbed = dict(window)
+    net = np.asarray(window["net_input"]).copy()
+    net[:, lane] = net[:, lane] + 1.0
+    perturbed["net_input"] = jnp.asarray(net)
+    pert_state, _ = step(
+        shard_state(state, mesh), shard_window(perturbed, mesh)
+    )
+
+    for a, b in zip(jax.tree.leaves(base_state.carry),
+                    jax.tree.leaves(pert_state.carry)):
+        a, b = np.asarray(a), np.asarray(b)
+        # the perturbed lane's recurrent state moved...
+        assert np.abs(a[lane] - b[lane]).max() > 1e-6
+        # ...every other lane's is bit-identical
+        others = [i for i in range(batch) if i != lane]
+        np.testing.assert_array_equal(a[others], b[others])
