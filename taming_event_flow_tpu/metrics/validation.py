@@ -80,20 +80,16 @@ def forward_prop_flow_once(flow_map, res, dt: float = 1.0):
     ones = jnp.ones((b, hw, 1), flow_map.dtype)
     warped, mask = _purge(warped, ones, res)
 
-    idx, w = get_interpolation(warped, res)  # [B, 4HW], [B, 4HW, 1]
-    mask4 = jnp.concatenate([mask] * 4, axis=1)
-    flow4 = jnp.concatenate([flow_at] * 4, axis=1)
-    w = w * mask4
-    w3 = jnp.concatenate(
-        [w, w * flow4[..., 0:1], w * flow4[..., 1:2]], axis=-1
-    )  # (weight, w*fy, w*fx)
-    from ..ops.warp import splat_channels
+    from ..ops import splat_values
 
-    buf = splat_channels(idx, w3, res)
+    vals = jnp.concatenate(
+        [mask, mask * flow_at[..., 0:1], mask * flow_at[..., 1:2]], axis=-1
+    )  # (weight, w*fy, w*fx)
+    buf = splat_values(warped, vals, res)  # [B, H, W, 3]
     wsum = buf[..., 0:1]
     wy = buf[..., 1:2] / (wsum + 1e-9)
     wx = buf[..., 2:3] / (wsum + 1e-9)
-    return jnp.concatenate([wx, wy], axis=-1).reshape(b, res[0], res[1], 2)
+    return jnp.concatenate([wx, wy], axis=-1)
 
 
 class ValState(NamedTuple):
@@ -445,26 +441,33 @@ class LinearValidation(IterativeValidation):
 
 def _ts_image_sums(events, pol_mask, ts, res):
     """Per-polarity count + avg-ts images for RSAT (round_idx=True splat)."""
-    idx, w = get_interpolation(events, res, round_idx=True)
-    pos = interpolate(idx, w, res, polarity_mask=pol_mask[:, :, 0:1])
-    neg = interpolate(idx, w, res, polarity_mask=pol_mask[:, :, 1:2])
-    pos_ts = interpolate(idx, w * ts, res, polarity_mask=pol_mask[:, :, 0:1])
-    neg_ts = interpolate(idx, w * ts, res, polarity_mask=pol_mask[:, :, 1:2])
-    return pos, neg, pos_ts, neg_ts
+    from ..ops import splat_values
+
+    vals = jnp.concatenate(
+        [
+            pol_mask[:, :, 0:1],
+            pol_mask[:, :, 1:2],
+            pol_mask[:, :, 0:1] * ts,
+            pol_mask[:, :, 1:2] * ts,
+        ],
+        axis=-1,
+    )
+    buf = splat_values(events, vals, res, round_idx=True)
+    return buf[..., 0:1], buf[..., 1:2], buf[..., 2:3], buf[..., 3:4]
 
 
 def compute_fwl(fw_events, zero_events, fw_pol, zero_pol, res):
     """Flow Warp Loss: var(IWE) / var(zero-warp IWE)
     (reference ``loss/flow_val.py:189-212``)."""
-    fw_idx, fw_w = get_interpolation(fw_events, res, round_idx=True)
-    fw_iwe = interpolate(fw_idx, fw_w, res, polarity_mask=fw_pol[:, :, 0:1])
-    fw_iwe = fw_iwe + interpolate(
-        fw_idx, fw_w, res, polarity_mask=fw_pol[:, :, 1:2]
+    from ..ops import splat_values
+
+    fw_iwe = splat_values(
+        fw_events, jnp.sum(fw_pol, axis=-1, keepdims=True), res,
+        round_idx=True,
     )
-    z_idx, z_w = get_interpolation(zero_events, res, round_idx=True)
-    z_iwe = interpolate(z_idx, z_w, res, polarity_mask=zero_pol[:, :, 0:1])
-    z_iwe = z_iwe + interpolate(
-        z_idx, z_w, res, polarity_mask=zero_pol[:, :, 1:2]
+    z_iwe = splat_values(
+        zero_events, jnp.sum(zero_pol, axis=-1, keepdims=True), res,
+        round_idx=True,
     )
     return jnp.var(fw_iwe) / jnp.var(z_iwe)
 

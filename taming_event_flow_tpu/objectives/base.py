@@ -81,39 +81,18 @@ def iwe_with_ts(warped_loc, pol_mask, norm_ts, res):
     :param norm_ts: ``[B, N, 1]`` normalized timestamps.
     :return: ``(iwe, iwe_ts)`` each ``[B, H, W, 2]``.
     """
-    b = warped_loc.shape[0]
-    if res[0] * res[1] <= 16384:
-        # training scale: the bilinear weights live in the separable
-        # factors, so no 4-tap expansion is needed at all
-        from ..ops.mxu_lookup import bilinear_splat_separable
+    from ..ops import splat_values
 
-        vals = jnp.concatenate(
-            [
-                pol_mask[:, :, 0:1],
-                pol_mask[:, :, 1:2],
-                pol_mask[:, :, 0:1] * norm_ts,
-                pol_mask[:, :, 1:2] * norm_ts,
-            ],
-            axis=-1,
-        )  # [B, N, 4]
-        buf = bilinear_splat_separable(warped_loc, vals, res)
-        return buf[..., 0:2], buf[..., 2:4]
-
-    idx, w = get_interpolation(warped_loc, res)  # [B, 4N], [B, 4N, 1]
-    pm = jnp.concatenate([pol_mask] * 4, axis=1)
-    ts = jnp.concatenate([norm_ts] * 4, axis=1)
-    w4 = jnp.concatenate(
+    vals = jnp.concatenate(
         [
-            w * pm[:, :, 0:1],
-            w * pm[:, :, 1:2],
-            w * pm[:, :, 0:1] * ts,
-            w * pm[:, :, 1:2] * ts,
+            pol_mask[:, :, 0:1],
+            pol_mask[:, :, 1:2],
+            pol_mask[:, :, 0:1] * norm_ts,
+            pol_mask[:, :, 1:2] * norm_ts,
         ],
         axis=-1,
-    )  # [B, 4N, 4]
-    from ..ops.warp import splat_channels
-
-    buf = splat_channels(idx, w4, res).reshape(b, res[0], res[1], 4)
+    )  # [B, N, 4]
+    buf = splat_values(warped_loc, vals, res)
     return buf[..., 0:2], buf[..., 2:4]
 
 

@@ -1,6 +1,10 @@
+from .backend import set_warp_backend, get_warp_backend
+from .precision import set_matmul_precision, get_matmul_precision
 from .warp import (
     event_propagation,
     bilinear_sample,
+    gather_values,
+    splat_values,
     get_event_flow,
     purge_unfeasible,
     get_interpolation,
@@ -17,8 +21,14 @@ from .encodings import (
 )
 
 __all__ = [
+    "set_warp_backend",
+    "get_warp_backend",
+    "set_matmul_precision",
+    "get_matmul_precision",
     "event_propagation",
     "bilinear_sample",
+    "gather_values",
+    "splat_values",
     "get_event_flow",
     "purge_unfeasible",
     "get_interpolation",

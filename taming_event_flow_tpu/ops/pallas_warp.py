@@ -1,0 +1,290 @@
+"""Fused bilinear splat/gather Pallas TPU kernels.
+
+The 4-tap bilinear stencil of the reference warp library (reference
+``utils/iwe.py:63-136`` scatter-add, ``:17-40`` grid_sample) factorizes per
+axis: ``w = tri(y - h) * tri(x - w)`` with ``tri(d) = max(0, 1 - |d|)``. The
+round-1 rebuild exploited this with dense XLA einsums over materialized
+``[M, size]`` triangle factors — exact, MXU-friendly, but HBM-bound on the
+factor tensors and limited to small maps. These kernels generate the factors
+*on the fly in VMEM* per (event-chunk x image-tile) grid cell and contract
+them on the MXU, so the only HBM traffic is the event stream and the image:
+
+  * splat:  ``out[h, w, c] += sum_e tri(y_e - h) tri(x_e - w) v[e, c]``
+            — one ``[TH, E] @ [E, TW]`` matmul per channel per cell.
+  * gather: ``out[e, c] += sum_hw tri(y_e - h) tri(x_e - w) img[h, w, c]``
+            — ``A = Wx @ img_c^T`` then a masked row-reduction with ``Wy``.
+
+Both kernels take per-axis stencil modes so the SAME kernels implement the
+custom VJPs: the derivative stencil ``dtri`` reproduces jax's autodiff
+conventions for ``maximum(0, 1 - |d|)`` exactly (``dtri(0) = -1`` since
+``d|d|/dd = +1`` at 0; ``dtri(+-1) = -+0.5`` from the max tie rule), so
+switching backends does not change gradients.
+
+Out-of-frame semantics match the reference's purge/bounds masking for free:
+a tap outside the image has no tile column, and events purged to ``(0, 0)``
+carry zero values/masks.
+
+Numerics: factors are computed in f32; under the DEFAULT matmul precision
+policy (``ops.precision``) the contractions run as single bf16 MXU passes
+(weights in [0, 1] round at ~2^-9 — the same policy the XLA separable path
+uses), while HIGHEST keeps full f32 contractions for strict parity.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .precision import get_matmul_precision
+
+# stencil modes
+TRI = 0  # triangle (bilinear) weight
+DTRI = 1  # its derivative, matching jax autodiff of maximum(0, 1 - |d|)
+
+_TILE_H = 128
+_TILE_W = 128
+_CHUNK = 1024  # events per grid step
+
+
+def _stencil(d, mode: int):
+    """Per-axis weight of fractional distance ``d`` (f32, exact compares)."""
+    if mode == TRI:
+        return jnp.maximum(0.0, 1.0 - jnp.abs(d))
+    a = jnp.abs(d)
+    sign = jnp.where(d >= 0.0, 1.0, -1.0)
+    mag = jnp.where(a < 1.0, 1.0, jnp.where(a == 1.0, 0.5, 0.0))
+    return -sign * mag
+
+
+def _factors(y, x, oy, ox, th, tw, e, mode_y, mode_x, dtype):
+    """Tile-local triangle factors ``[E, TH]`` / ``[E, TW]``."""
+    hy = jax.lax.broadcasted_iota(jnp.float32, (e, th), 1) + oy
+    hx = jax.lax.broadcasted_iota(jnp.float32, (e, tw), 1) + ox
+    wy = _stencil(y[:, None] - hy, mode_y)
+    wx = _stencil(x[:, None] - hx, mode_x)
+    return wy.astype(dtype), wx.astype(dtype)
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _round_up(a: int, b: int) -> int:
+    return _cdiv(a, b) * b
+
+
+def _use_bf16() -> bool:
+    # mirror mxu_lookup._factor_dtype: DEFAULT precision means single bf16
+    # MXU passes on accelerators; CPU (tests / interpret mode) stays exact
+    return (
+        get_matmul_precision() == jax.lax.Precision.DEFAULT
+        and jax.devices()[0].platform == "tpu"
+    )
+
+
+# ------------------------------------------------------------------- splat
+
+
+def _splat_kernel(y_ref, x_ref, v_ref, o_ref, *, mode_y, mode_x, bf16,
+                  n_chan):
+    nc = pl.program_id(3)
+
+    @pl.when(nc == 0)
+    def _():
+        o_ref[...] = jnp.zeros_like(o_ref)
+
+    th, tw = o_ref.shape[2], o_ref.shape[3]
+    e = y_ref.shape[1]
+    oy = (pl.program_id(1) * th).astype(jnp.float32)
+    ox = (pl.program_id(2) * tw).astype(jnp.float32)
+    dtype = jnp.bfloat16 if bf16 else jnp.float32
+    wy, wx = _factors(y_ref[0], x_ref[0], oy, ox, th, tw, e,
+                      mode_y, mode_x, dtype)
+    for c in range(n_chan):
+        wxv = wx * v_ref[0, c][:, None].astype(dtype)
+        o_ref[0, c] += jax.lax.dot_general(
+            wy, wxv,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=None if bf16 else jax.lax.Precision.HIGHEST,
+        )
+
+
+def splat_pallas(loc, values, res: Tuple[int, int]):
+    """Fused bilinear splat: ``[B, M, 2]`` (y, x) + ``[B, M, C]`` values ->
+    ``[B, H, W, C]`` (raw kernel — use :func:`splat_grad` for autodiff)."""
+    return _splat_raw(loc, values, res, TRI, TRI)
+
+
+def _splat_raw(loc, values, res, mode_y, mode_x):
+    b, m, c = values.shape
+    h, w = res
+    hp, wp = _round_up(h, _TILE_H), _round_up(w, _TILE_W)
+    e = min(_CHUNK, _round_up(m, 128))
+    mp = _round_up(m, e)
+
+    y = loc[..., 0].astype(jnp.float32)
+    x = loc[..., 1].astype(jnp.float32)
+    vals = jnp.transpose(values, (0, 2, 1)).astype(jnp.float32)  # [B, C, M]
+    if mp != m:
+        # pad with out-of-stencil coords AND zero values (coord -2 has zero
+        # weight everywhere, so padding is inert even for dtri modes)
+        y = jnp.pad(y, ((0, 0), (0, mp - m)), constant_values=-2.0)
+        x = jnp.pad(x, ((0, 0), (0, mp - m)), constant_values=-2.0)
+        vals = jnp.pad(vals, ((0, 0), (0, 0), (0, mp - m)))
+
+    grid = (b, hp // _TILE_H, wp // _TILE_W, mp // e)
+    kernel = functools.partial(
+        _splat_kernel, mode_y=mode_y, mode_x=mode_x, bf16=_use_bf16(),
+        n_chan=c,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, e), lambda bb, i, j, nc: (bb, nc)),
+            pl.BlockSpec((1, e), lambda bb, i, j, nc: (bb, nc)),
+            pl.BlockSpec((1, c, e), lambda bb, i, j, nc: (bb, 0, nc)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, c, _TILE_H, _TILE_W), lambda bb, i, j, nc: (bb, 0, i, j)
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, c, hp, wp), jnp.float32),
+        interpret=jax.devices()[0].platform != "tpu",
+    )(y, x, vals)
+    return jnp.transpose(out[:, :, :h, :w], (0, 2, 3, 1))
+
+
+# ------------------------------------------------------------------ gather
+
+
+def _gather_kernel(y_ref, x_ref, m_ref, o_ref, *, mode_y, mode_x, bf16,
+                   n_chan):
+    ti = pl.program_id(2)
+    tj = pl.program_id(3)
+
+    @pl.when(jnp.logical_and(ti == 0, tj == 0))
+    def _():
+        o_ref[...] = jnp.zeros_like(o_ref)
+
+    th, tw = m_ref.shape[2], m_ref.shape[3]
+    e = y_ref.shape[1]
+    oy = (ti * th).astype(jnp.float32)
+    ox = (tj * tw).astype(jnp.float32)
+    dtype = jnp.bfloat16 if bf16 else jnp.float32
+    wy, wx = _factors(y_ref[0], x_ref[0], oy, ox, th, tw, e,
+                      mode_y, mode_x, dtype)
+    for c in range(n_chan):
+        a = jax.lax.dot_general(
+            wx, m_ref[0, c].astype(dtype),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=None if bf16 else jax.lax.Precision.HIGHEST,
+        )  # [E, TH]
+        o_ref[0, c] += jnp.sum(wy.astype(jnp.float32) * a, axis=1)
+
+
+def gather_pallas(maps, loc):
+    """Fused bilinear gather: ``[B, H, W, C]`` maps + ``[B, M, 2]`` (y, x) ->
+    ``[B, M, C]`` (raw kernel — use :func:`gather_grad` for autodiff)."""
+    return _gather_raw(maps, loc, TRI, TRI)
+
+
+def _gather_raw(maps, loc, mode_y, mode_x):
+    b, h, w, c = maps.shape
+    m = loc.shape[1]
+    hp, wp = _round_up(h, _TILE_H), _round_up(w, _TILE_W)
+    e = min(_CHUNK, _round_up(m, 128))
+    mp = _round_up(m, e)
+
+    y = loc[..., 0].astype(jnp.float32)
+    x = loc[..., 1].astype(jnp.float32)
+    if mp != m:
+        y = jnp.pad(y, ((0, 0), (0, mp - m)), constant_values=-2.0)
+        x = jnp.pad(x, ((0, 0), (0, mp - m)), constant_values=-2.0)
+    mm = jnp.transpose(maps, (0, 3, 1, 2)).astype(jnp.float32)  # [B, C, H, W]
+    if (hp, wp) != (h, w):
+        mm = jnp.pad(mm, ((0, 0), (0, 0), (0, hp - h), (0, wp - w)))
+
+    grid = (b, mp // e, hp // _TILE_H, wp // _TILE_W)
+    kernel = functools.partial(
+        _gather_kernel, mode_y=mode_y, mode_x=mode_x, bf16=_use_bf16(),
+        n_chan=c,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, e), lambda bb, nc, i, j: (bb, nc)),
+            pl.BlockSpec((1, e), lambda bb, nc, i, j: (bb, nc)),
+            pl.BlockSpec(
+                (1, c, _TILE_H, _TILE_W), lambda bb, nc, i, j: (bb, 0, i, j)
+            ),
+        ],
+        out_specs=pl.BlockSpec((1, c, e), lambda bb, nc, i, j: (bb, 0, nc)),
+        out_shape=jax.ShapeDtypeStruct((b, c, mp), jnp.float32),
+        interpret=jax.devices()[0].platform != "tpu",
+    )(y, x, mm)
+    return jnp.transpose(out, (0, 2, 1))[:, :m]
+
+
+# -------------------------------------------------------------- custom VJP
+
+
+@functools.lru_cache(maxsize=None)
+def _splat_vjp(res: Tuple[int, int]):
+    @jax.custom_vjp
+    def f(loc, values):
+        return _splat_raw(loc, values, res, TRI, TRI)
+
+    def fwd(loc, values):
+        return f(loc, values), (loc, values)
+
+    def bwd(resid, g):
+        loc, values = resid
+        gv = _gather_raw(g, loc, TRI, TRI)  # [B, M, C]
+        gy = _gather_raw(g, loc, DTRI, TRI)
+        gx = _gather_raw(g, loc, TRI, DTRI)
+        d_y = jnp.sum(values * gy, axis=-1)
+        d_x = jnp.sum(values * gx, axis=-1)
+        return jnp.stack([d_y, d_x], axis=-1), gv
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def splat_grad(loc, values, res: Tuple[int, int]):
+    """Differentiable fused splat (custom VJP: backward = dual gathers)."""
+    return _splat_vjp(tuple(res))(loc, values)
+
+
+@functools.lru_cache(maxsize=None)
+def _gather_vjp(res: Tuple[int, int]):
+    @jax.custom_vjp
+    def f(maps, loc):
+        return _gather_raw(maps, loc, TRI, TRI)
+
+    def fwd(maps, loc):
+        return f(maps, loc), (maps, loc)
+
+    def bwd(resid, g):
+        maps, loc = resid
+        d_maps = _splat_raw(loc, g, res, TRI, TRI)
+        ty = _gather_raw(maps, loc, DTRI, TRI)
+        tx = _gather_raw(maps, loc, TRI, DTRI)
+        d_y = jnp.sum(g * ty, axis=-1)
+        d_x = jnp.sum(g * tx, axis=-1)
+        return d_maps, jnp.stack([d_y, d_x], axis=-1)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def gather_grad(maps, loc):
+    """Differentiable fused gather (custom VJP: backward = splat + duals)."""
+    return _gather_vjp((maps.shape[1], maps.shape[2]))(maps, loc)

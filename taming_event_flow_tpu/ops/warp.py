@@ -84,8 +84,8 @@ def gather_pixels(table, idx):
     return jnp.sum(gathered * onehot, axis=-1)
 
 
-def bilinear_sample(img, loc):
-    """Bilinearly sample a single-channel image at fractional locations.
+def gather_values(maps, loc):
+    """Backend-dispatched multi-channel bilinear gather.
 
     Matches ``torch.nn.functional.grid_sample(mode="bilinear",
     align_corners=True, padding_mode="zeros")`` when the normalized grid is
@@ -93,16 +93,47 @@ def bilinear_sample(img, loc):
     at pixel coordinates with out-of-frame taps contributing zero
     (reference ``utils/iwe.py:17-40``).
 
+    Backends: fused Pallas kernel (TPU / forced), separable MXU einsum
+    (maps <= one 128x128 row-tile), 4-tap row-gather fallback otherwise.
+
+    :param maps: ``[B, H, W, C]`` image channels.
+    :param loc: ``[B, M, 2]`` ``(y, x)`` sample locations.
+    :return: ``[B, M, C]`` sampled values (map channel order).
+    """
+    from .backend import use_pallas
+
+    h, w, c = maps.shape[1], maps.shape[2], maps.shape[3]
+    if use_pallas(h * w):
+        from .pallas_warp import gather_grad
+
+        return gather_grad(maps, loc)
+    if h * w <= 16384:
+        from .mxu_lookup import bilinear_gather_separable
+
+        return jnp.stack(
+            [bilinear_gather_separable(maps[..., i], loc) for i in range(c)],
+            axis=-1,
+        )
+    return jnp.stack(
+        [_bilinear_sample_taps(maps[..., i], loc) for i in range(c)],
+        axis=-1,
+    )
+
+
+def bilinear_sample(img, loc):
+    """Bilinearly sample a single-channel image at fractional locations
+    (see :func:`gather_values`).
+
     :param img: ``[B, H, W]`` image.
     :param loc: ``[B, N, 2]`` ``(y, x)`` sample locations.
     :return: ``[B, N]`` sampled values.
     """
-    h, w = img.shape[1], img.shape[2]
-    if h * w <= 16384:
-        # training-scale maps: separable dense contraction on the MXU
-        from .mxu_lookup import bilinear_gather_separable
+    return gather_values(img[..., None], loc)[..., 0]
 
-        return bilinear_gather_separable(img, loc)
+
+def _bilinear_sample_taps(img, loc):
+    """4-tap gather formulation (XLA fallback for large maps off-TPU)."""
+    h, w = img.shape[1], img.shape[2]
     y = loc[..., 0]
     x = loc[..., 1]
 
@@ -143,9 +174,7 @@ def get_event_flow(flow_map, event_loc):
     :return: ``[B, N, 2]`` per-event flow in ``(y, x)`` order
         (the reference returns ``(y, x)`` too, ``utils/iwe.py:38``).
     """
-    fx = bilinear_sample(flow_map[..., 0], event_loc)
-    fy = bilinear_sample(flow_map[..., 1], event_loc)
-    return jnp.stack([fy, fx], axis=-1)
+    return gather_values(flow_map, event_loc)[..., ::-1]
 
 
 def purge_unfeasible(event_loc, pol_mask, res: Res):
@@ -255,6 +284,47 @@ def splat_channels(flat_idx, weights, res: Res):
     return buf.at[jnp.arange(b)[:, None], flat_idx].add(weights, mode="drop")
 
 
+def splat_values(loc, values, res: Res, round_idx: bool = False):
+    """Backend-dispatched fused bilinear (or nearest) splat.
+
+    ``out[h, w, c] = sum_e tri(y_e - h) tri(x_e - w) values[e, c]`` — the
+    4-tap stencil of the reference accumulation (reference
+    ``utils/iwe.py:63-136``) in factorized form, with out-of-frame taps
+    contributing nothing. ``round_idx=True`` reproduces the nearest-pixel
+    variant (locations rounded half-to-even like ``torch.round``; rounding
+    carries no gradient, matching the integer-index reference path).
+
+    Backends: fused Pallas kernel (TPU / forced), separable MXU einsum
+    (maps <= one 128x128 row-tile), 4-tap expansion + XLA scatter otherwise.
+
+    :param loc: ``[B, M, 2]`` fractional ``(y, x)`` (purged/masked upstream).
+    :param values: ``[B, M, C]`` per-event channel values (masked).
+    :return: ``[B, H, W, C]``.
+    """
+    from .backend import use_pallas
+
+    if round_idx:
+        loc = jax.lax.stop_gradient(jnp.round(loc))
+    hw = res[0] * res[1]
+    if use_pallas(hw):
+        from .pallas_warp import splat_grad
+
+        return splat_grad(loc, values, res)
+    if hw <= 16384:
+        from .mxu_lookup import bilinear_splat_separable
+
+        return bilinear_splat_separable(loc, values, res)
+    idx, w = get_interpolation(loc, res, round_idx=round_idx)
+    if round_idx:
+        vals = values * w
+    else:
+        vals = jnp.concatenate([values] * 4, axis=1) * w
+    b = values.shape[0]
+    return splat_channels(idx, vals, res).reshape(
+        b, res[0], res[1], values.shape[-1]
+    )
+
+
 def interpolate(flat_idx, weights, res: Res, polarity_mask=None):
     """Image of warped events from splat indices/weights.
 
@@ -279,19 +349,8 @@ def iwe_from_events(warped_loc, pol_mask, res: Res, round_idx: bool = False,
         normalized timestamps) multiplied into the splat weights.
     :return: ``[B, H, W, 2]`` per-polarity image of warped events.
     """
-    idx, weights = get_interpolation(warped_loc, res, round_idx=round_idx)
-    reps = 1 if round_idx else 4
-    pm = jnp.concatenate([pol_mask] * reps, axis=1) if reps > 1 else pol_mask
-    if extra_weights is not None:
-        ew = (
-            jnp.concatenate([extra_weights] * reps, axis=1)
-            if reps > 1
-            else extra_weights
-        )
-        weights = weights * ew
-    pos = interpolate(idx, weights, res, polarity_mask=pm[:, :, 0:1])
-    neg = interpolate(idx, weights, res, polarity_mask=pm[:, :, 1:2])
-    return jnp.concatenate([pos, neg], axis=-1)
+    vals = pol_mask if extra_weights is None else pol_mask * extra_weights
+    return splat_values(warped_loc, vals, res, round_idx=round_idx)
 
 
 def deblur_events(flow_map, event_list, res: Res, round_idx: bool = True,
@@ -329,18 +388,8 @@ def deblur_events(flow_map, event_list, res: Res, round_idx: bool = True,
         event_flow = get_event_flow(flow_map, loc)
 
     fw = event_propagation(event_list[:, :, 0:1], loc, event_flow, 1.0)
-    idx, weights = get_interpolation(fw, res, round_idx=round_idx)
-    reps = 1 if round_idx else 4
-    feas_w = jnp.concatenate([feas] * reps, axis=1) if reps > 1 else feas
-    weights = weights * feas_w
-    pm = None
-    if polarity_mask is not None:
-        pm = (
-            jnp.concatenate([polarity_mask] * reps, axis=1)
-            if reps > 1
-            else polarity_mask
-        )
-    return interpolate(idx, weights, res, polarity_mask=pm)
+    vals = feas if polarity_mask is None else feas * polarity_mask
+    return splat_values(fw, vals, res, round_idx=round_idx)
 
 
 def compute_pol_iwe(flow_map, event_list, res: Res, pol_mask,
