@@ -1,9 +1,15 @@
 """Benchmark: event-warping throughput of the iterative contrast-max core.
 
-Measures the end-to-end hot path of training — the full jitted TBPTT window
-step (RecEVFlowNet scan + iterative warp table + fused IWE splats + grad +
-Adam) at the reference's training configuration (128x128, P=10 passes,
-batch 1..8), and reports warped-events throughput in Mevents/s.
+Headline: the full jitted TBPTT window step (RecEVFlowNet scan + iterative
+warp table + fused IWE splats + grad + Adam) at the reference's TRAINING
+configuration — batch 8, 128x128, P=10 passes (reference ``README.md:147``:
+batch size 8 was used for the paper experiments) — reported as warped-events
+throughput in Mevents/s.
+
+Secondary details cover every BASELINE.json config:
+  * batch-1 train step (round-1 comparison point)
+  * DSEC-Flow benchmark inference, 480x640 / gtflow window=0.1 / 10 passes
+  * MVSEC eval protocol, 260x346 / gtflow window=1 / 1 pass
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
@@ -31,20 +37,29 @@ def _sync(out):
     np.asarray(jax.device_get(leaves[0].ravel()[:1]))
 
 
-def bench_dsec_inference():
-    """DSEC-Flow benchmark shape: 480x640, gtflow window=0.1 (10 ms of
-    events per pass, 10 passes per GT frame). Measures model forward + the
-    Iterative validation update per pass and reports GT-frames/s."""
+def _synthetic_events(rng, shape, res):
+    """[..., N, 4] (ts, y, x, p) event tensor + [..., N, 2] polarity mask."""
+    import jax.numpy as jnp
+
+    ev = np.zeros(shape + (4,), np.float32)
+    ev[..., 0] = rng.uniform(0, 1, shape)
+    ev[..., 1] = rng.integers(0, res[0], shape)
+    ev[..., 2] = rng.integers(0, res[1], shape)
+    ev[..., 3] = rng.choice([-1.0, 1.0], shape)
+    pol = np.stack([(ev[..., 3] > 0), (ev[..., 3] < 0)], -1)
+    return jnp.asarray(ev), jnp.asarray(pol, jnp.float32)
+
+
+def bench_eval_protocol(res, passes, n_events, iters=10):
+    """Model forward + Iterative validation update per pass at an eval
+    protocol's shapes. Covers both DSEC (480x640, 10 passes) and MVSEC
+    (260x346, 1 pass). Reports per-pass latency and GT-frames/s."""
     import jax
     import jax.numpy as jnp
 
     from taming_event_flow_tpu.models import RecEVFlowNet
     from taming_event_flow_tpu.metrics import IterativeValidation, ValConfig
     from taming_event_flow_tpu.training import make_forward_fn
-
-    res = (480, 640)
-    passes = 10
-    n_events = 32768
 
     model = RecEVFlowNet(num_bins=2)
     carry = model.init_state(1, res[0], res[1])
@@ -57,16 +72,7 @@ def bench_dsec_inference():
     update = jax.jit(val.update, donate_argnums=(0,))
 
     rng = np.random.default_rng(0)
-    ev = np.zeros((1, n_events, 4), np.float32)
-    ev[..., 0] = rng.uniform(0, 1, (1, n_events))
-    ev[..., 1] = rng.integers(0, res[0], (1, n_events))
-    ev[..., 2] = rng.integers(0, res[1], (1, n_events))
-    ev[..., 3] = rng.choice([-1.0, 1.0], (1, n_events))
-    ev = jnp.asarray(ev)
-    pol = jnp.asarray(
-        np.stack([(np.asarray(ev)[..., 3] > 0),
-                  (np.asarray(ev)[..., 3] < 0)], -1), jnp.float32
-    )
+    ev, pol = _synthetic_events(rng, (1, n_events), res)
     emask = jnp.ones((1, res[0], res[1], 1), jnp.float32)
 
     # warmup
@@ -74,7 +80,6 @@ def bench_dsec_inference():
     vstate = update(vstate, flows[-1], ev, pol, emask)
     _sync(vstate.fw_loc)
 
-    iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
         flows, carry = forward(params, carry, x)
@@ -85,22 +90,18 @@ def bench_dsec_inference():
         "pass_ms": round(per_pass * 1e3, 2),
         "gt_frames_per_s": round(1.0 / (passes * per_pass), 2),
         "model_passes_per_s": round(1.0 / per_pass, 1),
+        "events_per_pass": n_events,
     }
 
 
-def main():
-    import jax
+def bench_train(batch, res=(128, 128), passes=10, n_events=8192, iters=10):
+    """Full jitted TBPTT window step at the training configuration."""
     import jax.numpy as jnp
 
     from taming_event_flow_tpu.models import RecEVFlowNet
     from taming_event_flow_tpu.objectives import LossConfig
     from taming_event_flow_tpu.training import build_optimizer, make_train_step
     from taming_event_flow_tpu.training.step import init_train_state
-
-    res = (128, 128)
-    passes = 10
-    batch = 1
-    n_events = 8192  # ~ typical 10 ms window at 128x128 crops
 
     model = RecEVFlowNet(num_bins=2, final_w_scale=0.01)
     cfg = LossConfig(res=res, passes_loss=passes, scales_loss=1,
@@ -110,20 +111,14 @@ def main():
     step = make_train_step(model, opt, cfg, "Iterative", flow_scaling=32.0)
 
     rng = np.random.default_rng(0)
-    ev = np.zeros((passes, batch, n_events, 4), np.float32)
-    ev[..., 0] = rng.uniform(0, 1, (passes, batch, n_events))
-    ev[..., 1] = rng.integers(0, res[0], (passes, batch, n_events))
-    ev[..., 2] = rng.integers(0, res[1], (passes, batch, n_events))
-    ev[..., 3] = rng.choice([-1.0, 1.0], (passes, batch, n_events))
+    ev, pol = _synthetic_events(rng, (passes, batch, n_events), res)
     window = {
         "net_input": jnp.asarray(
             rng.normal(size=(passes, batch, res[0], res[1], 2)),
             jnp.float32,
         ),
-        "event_list": jnp.asarray(ev),
-        "pol_mask": jnp.asarray(
-            np.stack([(ev[..., 3] > 0), (ev[..., 3] < 0)], -1), jnp.float32
-        ),
+        "event_list": ev,
+        "pol_mask": pol,
         "grad_mask": jnp.ones((passes, batch, n_events, 1), jnp.float32),
     }
 
@@ -131,7 +126,6 @@ def main():
     state, loss = step(state, window)
     _sync(loss)
 
-    iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
         state, loss = step(state, window)
@@ -141,23 +135,37 @@ def main():
     # events warped per optimizer step: P windows x N events, each warped
     # through ~P flow maps (fw+bw), across 4 flow scales
     warps_per_step = passes * n_events * batch * passes * 4
-    mevents_per_s = warps_per_step / dt / 1e6
+    return dt, warps_per_step / dt / 1e6
 
-    dsec = bench_dsec_inference()
+
+def main():
+    import jax
+
+    # headline: the reference's training config (batch 8 per README.md:147)
+    dt8, mev8 = bench_train(batch=8)
+    dt1, mev1 = bench_train(batch=1)
+    dsec = bench_eval_protocol((480, 640), passes=10, n_events=32768)
+    mvsec = bench_eval_protocol((260, 346), passes=1, n_events=16384)
 
     print(json.dumps({
         "metric": "iterative_cm_train_warp_throughput",
-        "value": round(mevents_per_s, 2),
+        "value": round(mev8, 2),
         "unit": "Mevents/s",
-        "vs_baseline": round(mevents_per_s / 100.0, 3),
+        "vs_baseline": round(mev8 / 100.0, 3),
         "detail": {
-            "train_step_ms": round(dt * 1e3, 2),
-            "res": list(res),
-            "passes": passes,
-            "batch": batch,
-            "events_per_window": n_events,
+            "train_step_ms": round(dt8 * 1e3, 2),
+            "res": [128, 128],
+            "passes": 10,
+            "batch": 8,
+            "events_per_window": 8192,
+            "samples_per_s": round(8.0 / dt8, 2),
+            "train_b1": {
+                "train_step_ms": round(dt1 * 1e3, 2),
+                "mevents_per_s": round(mev1, 2),
+            },
             "device": str(jax.devices()[0]),
             "dsec_480x640_inference": dsec,
+            "mvsec_260x346_eval": mvsec,
         },
     }))
 

@@ -58,6 +58,48 @@ def kernel_microbench():
     set_warp_backend("auto")
 
 
+def correctness():
+    """On-TPU numerical equivalence pallas vs xla (fwd + grads).
+
+    The interpret-mode tests cover semantics off-TPU; this guards the actual
+    Mosaic lowering (f32 path via HIGHEST so diffs are roundoff-level)."""
+    from taming_event_flow_tpu.ops.precision import set_matmul_precision
+
+    print("== on-TPU correctness (pallas vs xla, HIGHEST) ==", flush=True)
+    set_matmul_precision("highest")
+    rng = np.random.default_rng(1)
+    res = (200, 300)  # > 16384 px, non-multiple of the 128 tile
+    m, c = 5000, 2
+    loc = jnp.asarray(
+        np.stack([rng.uniform(-2, res[0] + 1, (2, m)),
+                  rng.uniform(-2, res[1] + 1, (2, m))], -1), jnp.float32)
+    vals = jnp.asarray(rng.normal(size=(2, m, c)), jnp.float32)
+    maps = jnp.asarray(rng.normal(size=(2, res[0], res[1], c)), jnp.float32)
+
+    outs = {}
+    for backend in ["xla", "pallas"]:
+        set_warp_backend(backend)
+
+        def f(l, v, mp):
+            s = splat_values(l, v, res)
+            g = gather_values(mp, l)
+            return jnp.sum(s * s) + jnp.sum(g * g)
+
+        val, grads = jax.jit(jax.value_and_grad(f, argnums=(0, 1, 2)))(
+            loc, vals, maps)
+        outs[backend] = (np.asarray(val), [np.asarray(g) for g in grads])
+    dv = abs(outs["xla"][0] - outs["pallas"][0]) / (abs(outs["xla"][0]) + 1e-9)
+    dg = max(
+        np.max(np.abs(a - b)) / (np.max(np.abs(a)) + 1e-9)
+        for a, b in zip(outs["xla"][1], outs["pallas"][1])
+    )
+    print(f"value rel diff {dv:.2e}   max grad rel diff {dg:.2e}", flush=True)
+    assert dv < 1e-4 and dg < 1e-4, (dv, dg)
+    set_matmul_precision("default")
+    set_warp_backend("auto")
+    print("correctness OK", flush=True)
+
+
 def eval_update_bench():
     print("== eval update (DSEC 480x640, P=10, N=32768) ==", flush=True)
     from taming_event_flow_tpu.metrics import IterativeValidation, ValConfig
@@ -145,6 +187,8 @@ def train_step_bench():
 if __name__ == "__main__":
     print("device:", jax.devices()[0], flush=True)
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if which in ("all", "correctness"):
+        correctness()
     if which in ("all", "kernels"):
         kernel_microbench()
     if which in ("all", "eval"):

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import jax
 
-_SMALL_MAP_PX = 16384  # one 128x128 MXU row-tile
+SMALL_MAP_PX = 16384  # one 128x128 MXU row-tile (mxu_lookup._TILE)
 
 _backend = "auto"
 
@@ -34,6 +34,11 @@ def use_pallas(hw: int) -> bool:
     if _backend == "xla":
         return False
     return (
-        hw > _SMALL_MAP_PX
+        hw > SMALL_MAP_PX
         and jax.devices()[0].platform == "tpu"
     )
+
+
+def use_separable(hw: int) -> bool:
+    """Small-map regime: the separable MXU einsum formulation applies."""
+    return hw <= SMALL_MAP_PX

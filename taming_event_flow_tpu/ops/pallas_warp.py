@@ -63,8 +63,10 @@ def _stencil(d, mode: int):
 
 def _factors(y, x, oy, ox, th, tw, e, mode_y, mode_x, dtype):
     """Tile-local triangle factors ``[E, TH]`` / ``[E, TW]``."""
-    hy = jax.lax.broadcasted_iota(jnp.float32, (e, th), 1) + oy
-    hx = jax.lax.broadcasted_iota(jnp.float32, (e, tw), 1) + ox
+    # Mosaic's tpu.iota is integer-only — build int32 and convert (a float
+    # broadcasted_iota verifies in interpret mode but fails TPU lowering)
+    hy = jax.lax.broadcasted_iota(jnp.int32, (e, th), 1).astype(jnp.float32) + oy
+    hx = jax.lax.broadcasted_iota(jnp.int32, (e, tw), 1).astype(jnp.float32) + ox
     wy = _stencil(y[:, None] - hy, mode_y)
     wx = _stencil(x[:, None] - hx, mode_x)
     return wy.astype(dtype), wx.astype(dtype)
@@ -99,11 +101,11 @@ def _splat_kernel(y_ref, x_ref, v_ref, o_ref, *, mode_y, mode_x, bf16,
         o_ref[...] = jnp.zeros_like(o_ref)
 
     th, tw = o_ref.shape[2], o_ref.shape[3]
-    e = y_ref.shape[1]
+    e = y_ref.shape[2]
     oy = (pl.program_id(1) * th).astype(jnp.float32)
     ox = (pl.program_id(2) * tw).astype(jnp.float32)
     dtype = jnp.bfloat16 if bf16 else jnp.float32
-    wy, wx = _factors(y_ref[0], x_ref[0], oy, ox, th, tw, e,
+    wy, wx = _factors(y_ref[0, 0], x_ref[0, 0], oy, ox, th, tw, e,
                       mode_y, mode_x, dtype)
     for c in range(n_chan):
         wxv = wx * v_ref[0, c][:, None].astype(dtype)
@@ -137,6 +139,11 @@ def _splat_raw(loc, values, res, mode_y, mode_x):
         y = jnp.pad(y, ((0, 0), (0, mp - m)), constant_values=-2.0)
         x = jnp.pad(x, ((0, 0), (0, mp - m)), constant_values=-2.0)
         vals = jnp.pad(vals, ((0, 0), (0, 0), (0, mp - m)))
+    # singleton middle axis: Mosaic requires the 2nd-to-last block dim to
+    # equal the array dim (or be a multiple of 8) — [B, M] blocks of (1, E)
+    # violate that whenever B > 1
+    y = y[:, None, :]
+    x = x[:, None, :]
 
     grid = (b, hp // _TILE_H, wp // _TILE_W, mp // e)
     kernel = functools.partial(
@@ -147,8 +154,8 @@ def _splat_raw(loc, values, res, mode_y, mode_x):
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, e), lambda bb, i, j, nc: (bb, nc)),
-            pl.BlockSpec((1, e), lambda bb, i, j, nc: (bb, nc)),
+            pl.BlockSpec((1, 1, e), lambda bb, i, j, nc: (bb, 0, nc)),
+            pl.BlockSpec((1, 1, e), lambda bb, i, j, nc: (bb, 0, nc)),
             pl.BlockSpec((1, c, e), lambda bb, i, j, nc: (bb, 0, nc)),
         ],
         out_specs=pl.BlockSpec(
@@ -173,11 +180,11 @@ def _gather_kernel(y_ref, x_ref, m_ref, o_ref, *, mode_y, mode_x, bf16,
         o_ref[...] = jnp.zeros_like(o_ref)
 
     th, tw = m_ref.shape[2], m_ref.shape[3]
-    e = y_ref.shape[1]
+    e = y_ref.shape[2]
     oy = (ti * th).astype(jnp.float32)
     ox = (tj * tw).astype(jnp.float32)
     dtype = jnp.bfloat16 if bf16 else jnp.float32
-    wy, wx = _factors(y_ref[0], x_ref[0], oy, ox, th, tw, e,
+    wy, wx = _factors(y_ref[0, 0], x_ref[0, 0], oy, ox, th, tw, e,
                       mode_y, mode_x, dtype)
     for c in range(n_chan):
         a = jax.lax.dot_general(
@@ -207,6 +214,8 @@ def _gather_raw(maps, loc, mode_y, mode_x):
     if mp != m:
         y = jnp.pad(y, ((0, 0), (0, mp - m)), constant_values=-2.0)
         x = jnp.pad(x, ((0, 0), (0, mp - m)), constant_values=-2.0)
+    y = y[:, None, :]  # singleton axis: see _splat_raw
+    x = x[:, None, :]
     mm = jnp.transpose(maps, (0, 3, 1, 2)).astype(jnp.float32)  # [B, C, H, W]
     if (hp, wp) != (h, w):
         mm = jnp.pad(mm, ((0, 0), (0, 0), (0, hp - h), (0, wp - w)))
@@ -220,8 +229,8 @@ def _gather_raw(maps, loc, mode_y, mode_x):
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, e), lambda bb, nc, i, j: (bb, nc)),
-            pl.BlockSpec((1, e), lambda bb, nc, i, j: (bb, nc)),
+            pl.BlockSpec((1, 1, e), lambda bb, nc, i, j: (bb, 0, nc)),
+            pl.BlockSpec((1, 1, e), lambda bb, nc, i, j: (bb, 0, nc)),
             pl.BlockSpec(
                 (1, c, _TILE_H, _TILE_W), lambda bb, nc, i, j: (bb, 0, i, j)
             ),

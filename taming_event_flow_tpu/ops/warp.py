@@ -100,14 +100,14 @@ def gather_values(maps, loc):
     :param loc: ``[B, M, 2]`` ``(y, x)`` sample locations.
     :return: ``[B, M, C]`` sampled values (map channel order).
     """
-    from .backend import use_pallas
+    from .backend import use_pallas, use_separable
 
     h, w, c = maps.shape[1], maps.shape[2], maps.shape[3]
     if use_pallas(h * w):
         from .pallas_warp import gather_grad
 
         return gather_grad(maps, loc)
-    if h * w <= 16384:
+    if use_separable(h * w):
         from .mxu_lookup import bilinear_gather_separable
 
         return jnp.stack(
@@ -301,7 +301,7 @@ def splat_values(loc, values, res: Res, round_idx: bool = False):
     :param values: ``[B, M, C]`` per-event channel values (masked).
     :return: ``[B, H, W, C]``.
     """
-    from .backend import use_pallas
+    from .backend import use_pallas, use_separable
 
     if round_idx:
         loc = jax.lax.stop_gradient(jnp.round(loc))
@@ -310,7 +310,7 @@ def splat_values(loc, values, res: Res, round_idx: bool = False):
         from .pallas_warp import splat_grad
 
         return splat_grad(loc, values, res)
-    if hw <= 16384:
+    if use_separable(hw):
         from .mxu_lookup import bilinear_splat_separable
 
         return bilinear_splat_separable(loc, values, res)
