@@ -100,9 +100,21 @@ def test(args, config_parser: YAMLParser):
 
     forward = make_forward_fn(model, flow_scaling=flow_scaling)
 
+    vis_on = bool(config["vis"].get("enabled") or config["vis"].get("store"))
+
+    def want_vis(key: str) -> bool:
+        """Is this visualization quantity actually displayed/stored?"""
+        if not vis_on:
+            return False
+        show = config["vis"].get("show")
+        return show is None or key in show
+
     val_cls = METRIC_REGISTRY[metrics_cfg.get("warping", "Iterative")]
     val_cfg = ValConfig(
-        res=res, passes=passes, round_ts=config["loss"].get("round_ts", False)
+        res=res, passes=passes, round_ts=config["loss"].get("round_ts", False),
+        # forward-propagated flow maps feed only the "forward"-mode flow
+        # visualization; metrics and the DSEC flow_bw path never read them
+        track_fw_prop=want_vis("flow_dynamic") or want_vis("flow_window"),
     )
     n_slots = config["loader"].get("n_events_pad") or 4096
     criteria = val_cls(val_cfg, 1, n_slots)
@@ -165,14 +177,13 @@ def test(args, config_parser: YAMLParser):
         flows, carry = forward(params, carry, x)
         flow_fine = flows[-1]  # [B, H, W, 2]
 
-        flow_vis = np.asarray(flow_fine)
-        if config["vis"].get("mask_output"):
-            flow_vis = flow_vis * np.asarray(batch["event_mask"])
+        flow_vis = None
+        if want_vis("flow") or want_vis("iwe"):
+            flow_vis = np.asarray(flow_fine)
+            if config["vis"].get("mask_output"):
+                flow_vis = flow_vis * np.asarray(batch["event_mask"])
 
-        if (config["vis"].get("enabled") or config["vis"].get("store")) and (
-            config["vis"].get("show") is None
-            or "iwe" in (config["vis"].get("show") or [])
-        ):
+        if want_vis("iwe"):
             vis.data["iwe"] = np.asarray(
                 compute_pol_iwe(
                     jnp.asarray(flow_vis), jnp.asarray(batch["event_list"]),
@@ -188,26 +199,34 @@ def test(args, config_parser: YAMLParser):
             jnp.asarray(batch["event_mask"]),
         )
 
-        if config["vis"].get("enabled") or config["vis"].get("store"):
+        if vis_on:
             num = int(vstate.pass_idx)
             if passes > 1 and config["vis"].get("dynamic"):
-                vis.data["events_dynamic"] = np.asarray(
-                    criteria.window_events(vstate))
-                vis.data["iwe_fw_dynamic"] = np.asarray(
-                    criteria.window_iwe(vstate, mode="forward"))
-                vis.data["iwe_bw_dynamic"] = np.asarray(
-                    criteria.window_iwe(vstate, mode="backward"))
-                vis.data["flow_dynamic"] = np.asarray(
-                    criteria.window_flow(vstate, mode="forward"))
+                if want_vis("events_dynamic"):
+                    vis.data["events_dynamic"] = np.asarray(
+                        criteria.window_events(vstate))
+                if want_vis("iwe_fw_dynamic"):
+                    vis.data["iwe_fw_dynamic"] = np.asarray(
+                        criteria.window_iwe(vstate, mode="forward"))
+                if want_vis("iwe_bw_dynamic"):
+                    vis.data["iwe_bw_dynamic"] = np.asarray(
+                        criteria.window_iwe(vstate, mode="backward"))
+                if want_vis("flow_dynamic"):
+                    vis.data["flow_dynamic"] = np.asarray(
+                        criteria.window_flow(vstate, mode="forward"))
             if num > 1 and num == passes:
-                vis.data["events_window"] = np.asarray(
-                    criteria.window_events(vstate))
-                vis.data["iwe_fw_window"] = np.asarray(
-                    criteria.window_iwe(vstate, mode="forward"))
-                vis.data["iwe_bw_window"] = np.asarray(
-                    criteria.window_iwe(vstate, mode="backward"))
-                vis.data["flow_window"] = np.asarray(
-                    criteria.window_flow(vstate, mode="forward"))
+                if want_vis("events_window"):
+                    vis.data["events_window"] = np.asarray(
+                        criteria.window_events(vstate))
+                if want_vis("iwe_fw_window"):
+                    vis.data["iwe_fw_window"] = np.asarray(
+                        criteria.window_iwe(vstate, mode="forward"))
+                if want_vis("iwe_bw_window"):
+                    vis.data["iwe_bw_window"] = np.asarray(
+                        criteria.window_iwe(vstate, mode="backward"))
+                if want_vis("flow_window"):
+                    vis.data["flow_window"] = np.asarray(
+                        criteria.window_flow(vstate, mode="forward"))
 
         vis.data["flow_bw"] = None
         val_results = initialize_quant_results(

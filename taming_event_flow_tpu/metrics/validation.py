@@ -31,6 +31,12 @@ class ValConfig(NamedTuple):
     res: Tuple[int, int]
     passes: int
     round_ts: bool = False
+    # Forward-propagated flow maps (reference ``loss/flow_val.py:558-576``)
+    # feed only the dynamic-visualization accessor ``window_flow("forward")``
+    # — metrics (FWL/RSAT/AEE) and the DSEC submission never read them. At
+    # DSEC scale they are ~P full-map self-splats per pass, so headless eval
+    # turns them off.
+    track_fw_prop: bool = True
 
 
 def _purge(loc, mask, res):
@@ -239,13 +245,14 @@ class IterativeValidation:
 
         # --- forward-propagated flow maps: every older slot advances one
         # step along itself (reference flow_val.py:558-576)
-        fw_prop = put(state.fw_prop_flow, flow)
-        prop_maps = jax.vmap(lambda m: forward_prop_flow_once(m, res))(
-            fw_prop
-        )
-        sel = (p_ax < p_cur).reshape(-1, 1, 1, 1, 1) > 0
-        fw_prop = jnp.where(sel, prop_maps, fw_prop)
-        state = state._replace(fw_prop_flow=fw_prop)
+        if cfg.track_fw_prop:
+            fw_prop = put(state.fw_prop_flow, flow)
+            prop_maps = jax.vmap(lambda m: forward_prop_flow_once(m, res))(
+                fw_prop
+            )
+            sel = (p_ax < p_cur).reshape(-1, 1, 1, 1, 1) > 0
+            fw_prop = jnp.where(sel, prop_maps, fw_prop)
+            state = state._replace(fw_prop_flow=fw_prop)
 
         # --- accumulated backward flow via iterated grid warping
         # (reference flow_val.py:578-604)

@@ -67,7 +67,7 @@ def global_ts(event_ts, pass_idx, round_ts: bool):
     return ts
 
 
-def iwe_with_ts(warped_loc, pol_mask, norm_ts, res):
+def iwe_with_ts(warped_loc, pol_mask, norm_ts, res, event_axis=None):
     """Fused per-polarity IWE + timestamp-IWE in ONE batched scatter.
 
     The reference runs four independent ``scatter_add_`` launches per
@@ -79,6 +79,10 @@ def iwe_with_ts(warped_loc, pol_mask, norm_ts, res):
     :param warped_loc: ``[B, N, 2]`` warped ``(y, x)`` locations.
     :param pol_mask: ``[B, N, 2]`` polarity mask (zero for padding).
     :param norm_ts: ``[B, N, 1]`` normalized timestamps.
+    :param event_axis: optional mesh axis name (under ``shard_map``): the
+        event dimension is sharded across it, so the per-shard partial IWE is
+        ``psum``-merged into the global IWE before any normalization. The
+        splat is a plain sum over events, so this is exact.
     :return: ``(iwe, iwe_ts)`` each ``[B, H, W, 2]``.
     """
     from ..ops import splat_values
@@ -93,6 +97,8 @@ def iwe_with_ts(warped_loc, pol_mask, norm_ts, res):
         axis=-1,
     )  # [B, N, 4]
     buf = splat_values(warped_loc, vals, res)
+    if event_axis is not None:
+        buf = jax.lax.psum(buf, event_axis)
     return buf[..., 0:2], buf[..., 2:4]
 
 

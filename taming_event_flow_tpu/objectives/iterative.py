@@ -143,7 +143,8 @@ def warp_table(flow_maps, event_loc, event_ts, pol_mask, res,
     return jnp.stack(table_loc), jnp.stack(table_mask)
 
 
-def iterative_loss(flows, event_list, pol_mask, grad_mask, cfg: LossConfig):
+def iterative_loss(flows, event_list, pol_mask, grad_mask, cfg: LossConfig,
+                   event_axis=None):
     """Full Iterative contrast-max training loss
     (reference ``loss/flow.py:588-746``).
 
@@ -154,6 +155,12 @@ def iterative_loss(flows, event_list, pol_mask, grad_mask, cfg: LossConfig):
     :param pol_mask: ``[P, B, N, 2]``.
     :param grad_mask: ``[P, B, N, 1]`` (1 = gradient-path event). The
         reference's grad/no-grad split (``dataloader/base.py:347-377``).
+    :param event_axis: optional mesh axis name when running under
+        ``shard_map`` with the event dimension N sharded across devices
+        (see :mod:`..parallel.event`). Partial IWEs are ``psum``-merged
+        before normalization; the returned loss is the exact global loss
+        (``pmean`` over the axis keeps its per-device value — and therefore
+        the gradient contract — identical to the unsharded program).
     :return: scalar loss.
     """
     p, s_scales = flows.shape[0], flows.shape[1]
@@ -210,7 +217,8 @@ def iterative_loss(flows, event_list, pol_mask, grad_mask, cfg: LossConfig):
 
                     norm_ts = 1.0 - jnp.abs(tref - flat(wts)) / delta
                     iwe, iwe_ts = iwe_with_ts(
-                        flat(wl), flat(wm), norm_ts, cfg.res
+                        flat(wl), flat(wm), norm_ts, cfg.res,
+                        event_axis=event_axis,
                     )
                     iwe_ts_norm = iwe_ts / (iwe + 1e-9)
                     loss_update = loss_update + focus_loss(
@@ -231,4 +239,10 @@ def iterative_loss(flows, event_list, pol_mask, grad_mask, cfg: LossConfig):
         loss = loss + flow_temporal_smoothing(
             flow_seq, cfg.res, cfg.flow_temp_smooth_weight
         )
+    if event_axis is not None:
+        # every event-shard device computed the identical global loss (the
+        # focus terms ride psum'd IWEs; smoothness terms see replicated
+        # flows) — pmean keeps the value AND routes exactly one unit of
+        # cotangent through each shard's splat contributions under autodiff
+        loss = jax.lax.pmean(loss, event_axis)
     return loss

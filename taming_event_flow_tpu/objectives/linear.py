@@ -26,13 +26,16 @@ from .base import (
 from .iterative import _purge
 
 
-def linear_loss(flows, event_list, pol_mask, grad_mask, cfg: LossConfig):
+def linear_loss(flows, event_list, pol_mask, grad_mask, cfg: LossConfig,
+                event_axis=None):
     """Linear contrast-max training loss (reference ``loss/flow.py:306-412``).
 
     :param flows: ``[P, S, B, H, W, 2]`` multi-scale flow sequence.
     :param event_list: ``[P, B, N, 4]`` events ``(ts, y, x, p)``; ts in [0,1].
     :param pol_mask: ``[P, B, N, 2]``.
     :param grad_mask: ``[P, B, N, 1]``.
+    :param event_axis: optional mesh axis the event dim is sharded over
+        (see :func:`..objectives.iterative.iterative_loss`).
     :return: scalar loss.
     """
     p, s_scales = flows.shape[0], flows.shape[1]
@@ -82,8 +85,12 @@ def linear_loss(flows, event_list, pol_mask, grad_mask, cfg: LossConfig):
                 fw_ts = 1.0 - jnp.abs(high_pass - w_ts) / scale
                 bw_ts = 1.0 - jnp.abs(low_pass - w_ts) / scale
 
-                fw_iwe, fw_iwe_ts = iwe_with_ts(fw, w_mask, fw_ts, cfg.res)
-                bw_iwe, bw_iwe_ts = iwe_with_ts(bw, w_mask, bw_ts, cfg.res)
+                fw_iwe, fw_iwe_ts = iwe_with_ts(
+                    fw, w_mask, fw_ts, cfg.res, event_axis=event_axis
+                )
+                bw_iwe, bw_iwe_ts = iwe_with_ts(
+                    bw, w_mask, bw_ts, cfg.res, event_axis=event_axis
+                )
 
                 loss_update = loss_update + focus_loss(
                     fw_iwe, fw_iwe_ts / (fw_iwe + 1e-9), cfg.loss_scaling
@@ -106,4 +113,6 @@ def linear_loss(flows, event_list, pol_mask, grad_mask, cfg: LossConfig):
         loss = loss + flow_temporal_smoothing(
             flow_seq, cfg.res, cfg.flow_temp_smooth_weight
         )
+    if event_axis is not None:
+        loss = jax.lax.pmean(loss, event_axis)  # see iterative_loss
     return loss

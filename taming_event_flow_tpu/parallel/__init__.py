@@ -1,6 +1,18 @@
 from .mesh import make_mesh, shard_window, shard_state, replicate, batch_sharding
+from .event import (
+    EVENT_AXIS,
+    make_event_mesh,
+    make_event_parallel_train_step,
+    shard_state_2d,
+    shard_window_2d,
+)
 
 __all__ = [
+    "EVENT_AXIS",
+    "make_event_mesh",
+    "make_event_parallel_train_step",
+    "shard_state_2d",
+    "shard_window_2d",
     "make_mesh",
     "shard_window",
     "shard_state",
