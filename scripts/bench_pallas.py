@@ -100,6 +100,42 @@ def correctness():
     print("correctness OK", flush=True)
 
 
+def train_scale_microbench():
+    """128x128 (single-tile) shapes the TBPTT step actually runs: forward
+    AND value_and_grad of splat/gather under each backend."""
+    rng = np.random.default_rng(0)
+    print("== train-scale microbench (128x128, fwd + grad) ==", flush=True)
+    res = (128, 128)
+    for b, m, c in [(1, 81920, 2), (8, 81920, 2), (1, 61440, 4),
+                    (8, 61440, 4)]:
+        loc = jnp.asarray(
+            np.stack([rng.uniform(0, res[0] - 1, (b, m)),
+                      rng.uniform(0, res[1] - 1, (b, m))], -1), jnp.float32)
+        vals = jnp.asarray(rng.normal(size=(b, m, c)), jnp.float32)
+        maps = jnp.asarray(rng.normal(size=(b, res[0], res[1], c)),
+                           jnp.float32)
+
+        for backend in ["xla", "pallas"]:
+            set_warp_backend(backend)
+            f_s = jax.jit(lambda l, v: splat_values(l, v, res))
+            f_g = jax.jit(gather_values)
+            g_s = jax.jit(jax.grad(
+                lambda l, v: jnp.sum(splat_values(l, v, res) ** 2),
+                argnums=(0, 1)))
+            g_g = jax.jit(jax.grad(
+                lambda mp, l: jnp.sum(gather_values(mp, l) ** 2),
+                argnums=(0, 1)))
+            ts = bench(f_s, loc, vals)
+            tg = bench(f_g, maps, loc)
+            tgs = bench(g_s, loc, vals)
+            tgg = bench(g_g, maps, loc)
+            print(f"B={b} M={m:6d} C={c} {backend:6s}: "
+                  f"splat {ts*1e3:7.2f}  gather {tg*1e3:7.2f}  "
+                  f"grad(splat) {tgs*1e3:7.2f}  grad(gather) {tgg*1e3:7.2f} ms",
+                  flush=True)
+    set_warp_backend("auto")
+
+
 def eval_update_bench():
     print("== eval update (DSEC 480x640, P=10, N=32768) ==", flush=True)
     from taming_event_flow_tpu.metrics import IterativeValidation, ValConfig
@@ -191,6 +227,8 @@ if __name__ == "__main__":
         correctness()
     if which in ("all", "kernels"):
         kernel_microbench()
+    if which in ("all", "trainscale"):
+        train_scale_microbench()
     if which in ("all", "eval"):
         eval_update_bench()
     if which in ("all", "train"):

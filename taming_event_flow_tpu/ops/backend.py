@@ -1,10 +1,20 @@
-"""Warp-op backend policy: XLA (separable einsum / scatter) vs Pallas.
+"""Warp-op backend policy: XLA (separable einsum / taps / scatter) vs Pallas.
 
-``auto`` (default) uses the fused Pallas kernels on TPU for maps beyond the
-single-row-tile regime (> 16384 px — where the XLA fallback is a 25-65
-M-updates/s scatter) and keeps the proven separable-MXU einsums for small
-maps. ``pallas`` forces the fused kernels everywhere (they run interpreted
-off-TPU); ``xla`` disables them.
+Measured on TPU v5e (readback-synced, scripts/bench_pallas.py &
+bench_route_probe.py):
+
+  * maps ≤ one 128x128 row-tile (training scale): the separable MXU einsums
+    win for both directions.
+  * large-map SPLATS (DSEC 480x640): the fused Pallas kernel is ~3.4x the
+    XLA 4-tap scatter (60 vs 18 Mval/s at 307k points).
+  * large-map GATHERS: the XLA 4-tap row-gather path (``gather_pixels``)
+    matches or beats the dense Pallas kernel (85 Mval/s at 307k points; the
+    DSEC eval update is 23 ms/pass on taps vs 87 ms on dense Pallas), because
+    the dense formulation pays M x H x W MACs while taps pay O(M) loads.
+
+``auto`` (default) applies exactly that table. ``pallas`` forces the fused
+kernels everywhere (interpreted off-TPU — used by equivalence tests);
+``xla`` disables them.
 """
 
 from __future__ import annotations
@@ -27,12 +37,14 @@ def get_warp_backend() -> str:
     return _backend
 
 
-def use_pallas(hw: int) -> bool:
+def use_pallas(hw: int, for_gather: bool = False) -> bool:
     """Resolve the backend for a map of ``hw`` pixels (trace-time)."""
     if _backend == "pallas":
         return True
     if _backend == "xla":
         return False
+    if for_gather:
+        return False  # XLA taps win for gathers at every size (see above)
     return (
         hw > SMALL_MAP_PX
         and jax.devices()[0].platform == "tpu"

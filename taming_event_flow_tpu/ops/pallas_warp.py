@@ -242,6 +242,115 @@ def _gather_raw(maps, loc, mode_y, mode_x):
     return jnp.transpose(out, (0, 2, 1))[:, :m]
 
 
+# ------------------------------------------------------- fused dual gather
+
+
+def _gather_fused_kernel(y_ref, x_ref, v_ref, m_ref, gv_ref, dy_ref, dx_ref,
+                         *, bf16, n_chan):
+    """One pass producing gather values AND both location-derivative
+    contractions: ``gv_c = Σ tri·tri·m_c``, ``dy = Σ_c v_c·Σ dtri·tri·m_c``,
+    ``dx = Σ_c v_c·Σ tri·dtri·m_c``. This is the whole backward of the splat
+    (and the location half of the gather's) in ONE kernel — one factor
+    generation and one image pass instead of three."""
+    ti = pl.program_id(2)
+    tj = pl.program_id(3)
+
+    @pl.when(jnp.logical_and(ti == 0, tj == 0))
+    def _():
+        gv_ref[...] = jnp.zeros_like(gv_ref)
+        dy_ref[...] = jnp.zeros_like(dy_ref)
+        dx_ref[...] = jnp.zeros_like(dx_ref)
+
+    th, tw = m_ref.shape[2], m_ref.shape[3]
+    e = y_ref.shape[2]
+    oy = (ti * th).astype(jnp.float32)
+    ox = (tj * tw).astype(jnp.float32)
+    dtype = jnp.bfloat16 if bf16 else jnp.float32
+    wy, wx = _factors(y_ref[0, 0], x_ref[0, 0], oy, ox, th, tw, e,
+                      TRI, TRI, dtype)
+    dwy, dwx = _factors(y_ref[0, 0], x_ref[0, 0], oy, ox, th, tw, e,
+                        DTRI, DTRI, dtype)
+    wy32 = wy.astype(jnp.float32)
+    dwy32 = dwy.astype(jnp.float32)
+    prec = None if bf16 else jax.lax.Precision.HIGHEST
+    dy_acc = jnp.zeros((e,), jnp.float32)
+    dx_acc = jnp.zeros((e,), jnp.float32)
+    for c in range(n_chan):
+        mc = m_ref[0, c].astype(dtype)
+        a = jax.lax.dot_general(
+            wx, mc, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )  # [E, TH] — tri-x contraction
+        b = jax.lax.dot_general(
+            dwx, mc, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )  # [E, TH] — dtri-x contraction
+        vc = v_ref[0, c].astype(jnp.float32)
+        gv_ref[0, c] += jnp.sum(wy32 * a, axis=1)
+        dy_acc += vc * jnp.sum(dwy32 * a, axis=1)
+        dx_acc += vc * jnp.sum(wy32 * b, axis=1)
+    dy_ref[0, 0] += dy_acc
+    dx_ref[0, 0] += dx_acc
+
+
+def _gather_fused_raw(maps, loc, values):
+    """Returns ``(gv [B,M,C], dy [B,M], dx [B,M])`` — see kernel docstring.
+
+    ``dy/dx`` are already contracted with ``values`` over channels.
+    """
+    b, h, w, c = maps.shape
+    m = loc.shape[1]
+    hp, wp = _round_up(h, _TILE_H), _round_up(w, _TILE_W)
+    e = min(_CHUNK, _round_up(m, 128))
+    mp = _round_up(m, e)
+
+    y = loc[..., 0].astype(jnp.float32)
+    x = loc[..., 1].astype(jnp.float32)
+    vals = jnp.transpose(values, (0, 2, 1)).astype(jnp.float32)  # [B, C, M]
+    if mp != m:
+        y = jnp.pad(y, ((0, 0), (0, mp - m)), constant_values=-2.0)
+        x = jnp.pad(x, ((0, 0), (0, mp - m)), constant_values=-2.0)
+        vals = jnp.pad(vals, ((0, 0), (0, 0), (0, mp - m)))
+    y = y[:, None, :]
+    x = x[:, None, :]
+    mm = jnp.transpose(maps, (0, 3, 1, 2)).astype(jnp.float32)
+    if (hp, wp) != (h, w):
+        mm = jnp.pad(mm, ((0, 0), (0, 0), (0, hp - h), (0, wp - w)))
+
+    grid = (b, mp // e, hp // _TILE_H, wp // _TILE_W)
+    kernel = functools.partial(
+        _gather_fused_kernel, bf16=_use_bf16(), n_chan=c,
+    )
+    gv, dy, dx = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, e), lambda bb, nc, i, j: (bb, 0, nc)),
+            pl.BlockSpec((1, 1, e), lambda bb, nc, i, j: (bb, 0, nc)),
+            pl.BlockSpec((1, c, e), lambda bb, nc, i, j: (bb, 0, nc)),
+            pl.BlockSpec(
+                (1, c, _TILE_H, _TILE_W), lambda bb, nc, i, j: (bb, 0, i, j)
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, c, e), lambda bb, nc, i, j: (bb, 0, nc)),
+            pl.BlockSpec((1, 1, e), lambda bb, nc, i, j: (bb, 0, nc)),
+            pl.BlockSpec((1, 1, e), lambda bb, nc, i, j: (bb, 0, nc)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, c, mp), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, mp), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, mp), jnp.float32),
+        ],
+        interpret=jax.devices()[0].platform != "tpu",
+    )(y, x, vals, mm)
+    return (
+        jnp.transpose(gv, (0, 2, 1))[:, :m],
+        dy[:, 0, :m],
+        dx[:, 0, :m],
+    )
+
+
 # -------------------------------------------------------------- custom VJP
 
 
@@ -256,11 +365,10 @@ def _splat_vjp(res: Tuple[int, int]):
 
     def bwd(resid, g):
         loc, values = resid
-        gv = _gather_raw(g, loc, TRI, TRI)  # [B, M, C]
-        gy = _gather_raw(g, loc, DTRI, TRI)
-        gx = _gather_raw(g, loc, TRI, DTRI)
-        d_y = jnp.sum(values * gy, axis=-1)
-        d_x = jnp.sum(values * gx, axis=-1)
+        # one fused kernel: gv = gather(g), d_loc = dual-stencil gathers
+        # pre-contracted with values (3 kernels' worth of work, one image
+        # pass, one factor generation)
+        gv, d_y, d_x = _gather_fused_raw(g, loc, values)
         return jnp.stack([d_y, d_x], axis=-1), gv
 
     f.defvjp(fwd, bwd)
@@ -284,10 +392,9 @@ def _gather_vjp(res: Tuple[int, int]):
     def bwd(resid, g):
         maps, loc = resid
         d_maps = _splat_raw(loc, g, res, TRI, TRI)
-        ty = _gather_raw(maps, loc, DTRI, TRI)
-        tx = _gather_raw(maps, loc, TRI, DTRI)
-        d_y = jnp.sum(g * ty, axis=-1)
-        d_x = jnp.sum(g * tx, axis=-1)
+        # fused dual gathers pre-contracted with the cotangent (gv unused
+        # but costs only one extra row-reduction on the shared contraction)
+        _, d_y, d_x = _gather_fused_raw(maps, loc, g)
         return d_maps, jnp.stack([d_y, d_x], axis=-1)
 
     f.defvjp(fwd, bwd)
