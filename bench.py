@@ -50,10 +50,15 @@ def _synthetic_events(rng, shape, res):
     return jnp.asarray(ev), jnp.asarray(pol, jnp.float32)
 
 
-def bench_eval_protocol(res, passes, n_events, iters=10):
+def bench_eval_protocol(res, passes, n_events, iters=10,
+                        track_fw_prop=True):
     """Model forward + Iterative validation update per pass at an eval
     protocol's shapes. Covers both DSEC (480x640, 10 passes) and MVSEC
-    (260x346, 1 pass). Reports per-pass latency and GT-frames/s."""
+    (260x346, 1 pass). Reports per-pass latency and GT-frames/s.
+
+    ``track_fw_prop=False`` is the DSEC submission configuration
+    (``configs/eval_dsec.yml`` shows only ``flow_bw``; the fw-propagated
+    maps feed nothing on that path — see ``ValConfig.track_fw_prop``)."""
     import jax
     import jax.numpy as jnp
 
@@ -67,7 +72,9 @@ def bench_eval_protocol(res, passes, n_events, iters=10):
     params = model.init(jax.random.PRNGKey(0), x, carry)["params"]
     forward = make_forward_fn(model)
 
-    val = IterativeValidation(ValConfig(res=res, passes=passes), 1, n_events)
+    val = IterativeValidation(
+        ValConfig(res=res, passes=passes, track_fw_prop=track_fw_prop),
+        1, n_events)
     vstate = val.init()
     update = jax.jit(val.update, donate_argnums=(0,))
 
@@ -144,7 +151,9 @@ def main():
     # headline: the reference's training config (batch 8 per README.md:147)
     dt8, mev8 = bench_train(batch=8)
     dt1, mev1 = bench_train(batch=1)
-    dsec = bench_eval_protocol((480, 640), passes=10, n_events=32768)
+    # DSEC-Flow benchmark inference = the submission path (flow_bw only)
+    dsec = bench_eval_protocol((480, 640), passes=10, n_events=32768,
+                               track_fw_prop=False)
     mvsec = bench_eval_protocol((260, 346), passes=1, n_events=16384)
 
     print(json.dumps({

@@ -13,6 +13,7 @@ import jax.numpy as jnp
 import sys
 
 sys.path.insert(0, "/root/repo/scripts")
+sys.path.insert(0, "/root/repo")
 from bench_util import sync
 
 from taming_event_flow_tpu.models import RecEVFlowNet
@@ -22,7 +23,7 @@ from taming_event_flow_tpu.training.step import init_train_state
 
 
 def main():
-    res, passes, batch, n = (128, 128), 10, 1, 8192
+    res, passes, batch, n = (128, 128), 10, 8, 8192
     model = RecEVFlowNet(num_bins=2, final_w_scale=0.01)
     cfg = LossConfig(res=res, passes_loss=passes)
     opt = build_optimizer({"name": "Adam", "lr": 1e-5}, clip_grad=100.0)

@@ -170,13 +170,17 @@ def iterative_loss(flows, event_list, pol_mask, grad_mask, cfg: LossConfig,
     ts = global_ts(event_list[..., 0:1], pass_ids, cfg.round_ts)
     loc = event_list[..., 1:3]
 
-    loss = 0.0
-    for i in range(s_scales):
+    # One scale's full contribution: warp table (two scans) + deblurring-
+    # window IWE sweep. vmapped over the S flow scales below so the four
+    # per-scale scan chains fuse into ONE pair of scans with a 4x-batched
+    # gather — same math, 4x fewer sequential while-loop iterations on TPU.
+    def scale_loss(flow_maps):
         tbl_loc, tbl_mask = warp_table(
-            flows[:, i], loc, ts, pol_mask, cfg.res, grad_mask=grad_mask,
+            flow_maps, loc, ts, pol_mask, cfg.res, grad_mask=grad_mask,
             remat=cfg.warp_remat, unroll=cfg.scan_unroll,
         )
 
+        loss = 0.0
         for s, scale in enumerate(cfg.passes_list):
             delta = cfg.delta_passes[s]
             loss_update = 0.0
@@ -228,7 +232,9 @@ def iterative_loss(flows, event_list, pol_mask, grad_mask, cfg: LossConfig,
             loss_update = loss_update / (2**s)
             loss_update = loss_update / (2 * delta + 1)
             loss = loss + loss_update
+        return loss
 
+    loss = jnp.sum(jax.vmap(scale_loss, in_axes=1)(flows))
     loss = loss / cfg.scales_loss
     loss = loss / s_scales
 

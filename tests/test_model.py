@@ -130,3 +130,44 @@ def test_fire_flow_net_variants():
     params2 = ff.init(jax.random.PRNGKey(0), x)["params"]
     flows2, st = ff.apply({"params": params2}, x)
     assert flows2.shape == (1, 1, 16, 20, 2) and st == ()
+
+
+def test_bf16_compute_dtype_scan_stable(rng):
+    """bf16 compute: flows come back f32 and close to the f32 model; the
+    carry keeps a stable pytree/dtype structure so lax.scan accepts it
+    (the TBPTT step scans the model over the pass axis)."""
+    import jax.numpy as jnp
+
+    kwargs = dict(num_bins=2, base_channels=8, num_encoders=2,
+                  num_residual_blocks=1, min_size=4)
+    m32 = RecEVFlowNet(**kwargs)
+    mbf = RecEVFlowNet(**kwargs, compute_dtype="bfloat16")
+    x = jnp.asarray(rng.normal(size=(1, 16, 16, 2)), jnp.float32)
+    carry = m32.init_state(1, 16, 16)
+    params = m32.init(jax.random.PRNGKey(0), x, carry)["params"]
+
+    f32_flows, _ = m32.apply({"params": params}, x, carry)
+    bf_flows, bf_carry = mbf.apply({"params": params}, x, carry)
+    assert bf_flows.dtype == jnp.float32
+    assert np.all(np.isfinite(np.asarray(bf_flows)))
+    np.testing.assert_allclose(
+        np.asarray(bf_flows), np.asarray(f32_flows), atol=0.05
+    )
+    # second step with the returned carry: structure/dtype must be stable
+    for a, b in zip(jax.tree.leaves(carry), jax.tree.leaves(bf_carry)):
+        assert a.shape == b.shape
+    bf_flows2, _ = mbf.apply({"params": params}, x, bf_carry)
+    assert np.all(np.isfinite(np.asarray(bf_flows2)))
+
+    def scan_two(c, xs):
+        import jax as _jax
+
+        def body(cc, xx):
+            fl, nc = mbf.apply({"params": params}, xx, cc)
+            return nc, fl
+
+        return _jax.lax.scan(body, c, xs)
+
+    xs = jnp.stack([x, x], axis=0)
+    _, fl = jax.jit(scan_two)(carry, xs)
+    assert np.all(np.isfinite(np.asarray(fl)))
