@@ -70,6 +70,9 @@ def test(args, config_parser: YAMLParser):
     from taming_event_flow_tpu.ops.precision import set_matmul_precision
 
     set_matmul_precision(config["loss"].get("matmul_precision", "default"))
+    from taming_event_flow_tpu.ops import set_warp_backend
+
+    set_warp_backend(config["loss"].get("warp_backend", "auto"))
 
     config["loader"]["batch_size"] = 1
     res = tuple(config["loader"]["resolution"])

@@ -55,6 +55,7 @@ DEFAULTS: Dict[str, Any] = {
         "matmul_precision": "default",  # default | high | highest (~f32)
         "warp_remat": True,  # remat warp-scan steps (memory vs FLOPs)
         "scan_unroll": 1,  # unroll factor for warp/model scans
+        "warp_backend": "auto",  # auto | xla | pallas (ops/backend.py)
     },
     "metrics": {},
     "optimizer": {"name": "Adam", "lr": 1e-5},

@@ -82,6 +82,9 @@ def train(args, config_parser: YAMLParser):
     from taming_event_flow_tpu.ops.precision import set_matmul_precision
 
     set_matmul_precision(config["loss"].get("matmul_precision", "default"))
+    from taming_event_flow_tpu.ops import set_warp_backend
+
+    set_warp_backend(config["loss"].get("warp_backend", "auto"))
 
     model = build_model(dict(config["model"]), num_bins=num_bins)
     loss_cfg = LossConfig(
