@@ -142,70 +142,107 @@ def train(args, config_parser: YAMLParser):
         state = shard_state(state, mesh)
         print(f"Data-parallel mesh over {len(jax.devices())} devices")
 
-    train_loss, best_loss = 0.0, 1.0e6
-    window_batches = []
-    end_train = False
+    n_epochs = config["loader"]["n_epochs"]
 
-    while not end_train:
-        batch = data.next_batch()
+    def window_stream():
+        """Producer: owns ALL loader state; yields ordered stream events.
 
-        if batch["new_seq"].any():
-            # zero affected lanes' carry; restart the loss window
-            state = state._replace(
-                carry=reset_carry(
-                    state.carry, jnp.asarray(batch["new_seq"])
-                )
-            )
+        ("reset", mask)      — lanes changed sequence; zero their carry and
+                               drop the partial loss window (the reference
+                               resets globally, ``train_flow.py:83-87``)
+        ("epoch_end", e, n)  — epoch ``e`` finished after ingesting ``n``
+                               samples (batches x lanes, like the
+                               reference's ``data.samples`` at
+                               ``train_flow.py:121``)
+        ("window", w, meta)  — a full pass-stacked window (host numpy)
+        """
+        window_batches = []
+        samples_in_epoch = 0
+        while True:
+            batch = data.next_batch()
+
+            if batch["new_seq"].any():
+                window_batches = []
+                yield ("reset", batch["new_seq"].copy())
+
+            if data.seq_num >= len(data.files):  # epoch rollover
+                yield ("epoch_end", data.epoch, samples_in_epoch)
+                samples_in_epoch = 0
+                data.epoch += 1
+                data.samples = 0
+                data.seq_num = data.seq_num % len(data.files)
+                if data.epoch == n_epochs:
+                    return
+
+            window_batches.append(batch)
+            samples_in_epoch += batch_size
+            if len(window_batches) < passes:
+                continue
+
+            window = stack_window(window_batches)
             window_batches = []
+            yield ("window", window, (data.epoch, data.seq_num))
 
-        if data.seq_num >= len(data.files):  # epoch rollover
-            avg = train_loss / max(data.samples, 1)
-            tracking.log_metric("loss", avg, step=data.epoch)
-            tb.add_scalar("loss", avg, data.epoch)
+    from taming_event_flow_tpu.data.prefetch import Prefetcher
+
+    train_loss, best_loss = 0.0, 1.0e6
+    windows_done = 0
+    # async dispatch: device losses are read back one step LATE so the host
+    # never stalls on the in-flight step (float() is a device sync)
+    pending = []
+
+    def drain(limit):
+        nonlocal train_loss, windows_done
+        while len(pending) > limit:
+            train_loss += float(pending.pop(0))
+            windows_done += 1
+
+    for event in Prefetcher(window_stream(), depth=3):
+        if event[0] == "reset":
+            drain(1)
+            state = state._replace(
+                carry=reset_carry(state.carry, jnp.asarray(event[1]))
+            )
+        elif event[0] == "epoch_end":
+            _, epoch_num, n_samples = event
+            drain(0)
+            avg = train_loss / max(n_samples, 1)
+            tracking.log_metric("loss", avg, step=epoch_num)
+            tb.add_scalar("loss", avg, epoch_num)
             if avg < best_loss:
                 save_checkpoint(
                     runid, jax.device_get(state.params),
                     jax.device_get(state.opt_state),
-                    step=int(state.step), epoch=data.epoch,
+                    step=int(state.step), epoch=epoch_num,
                 )
                 best_loss = avg
-            data.epoch += 1
-            data.samples = 0
             train_loss = 0.0
-            data.seq_num = data.seq_num % len(data.files)
-            if data.epoch == config["loader"]["n_epochs"]:
-                end_train = True
-                break
+            windows_done = 0
+        else:
+            _, window, (epoch_num, seq_num) = event
+            window = {k: jnp.asarray(v) for k, v in window.items()}
+            if mesh is not None:
+                window = shard_window(window, mesh)
 
-        window_batches.append(batch)
-        if len(window_batches) < passes:
-            continue
+            state, loss = step_fn(state, window)
+            pending.append(loss)
+            drain(1)
+            meter.tick()
 
-        window = stack_window(window_batches)
-        window_batches = []
-        window = {k: jnp.asarray(v) for k, v in window.items()}
-        if mesh is not None:
-            window = shard_window(window, mesh)
+            if config["vis"].get("verbose"):
+                ev_per_step = float(window["event_list"].shape[0]
+                                    * window["event_list"].shape[1]
+                                    * window["event_list"].shape[2])
+                print(
+                    f"Train Epoch: {epoch_num:04d} "
+                    f"[{seq_num:03d}/{len(data.files):03d}] "
+                    f"Loss: {train_loss / max(windows_done * passes * batch_size, 1):.6f} "
+                    f"({meter.steps_per_s:.2f} step/s, "
+                    f"{meter.mevents_per_s(ev_per_step):.1f} Mev/s)",
+                    end="\r",
+                )
 
-        state, loss = step_fn(state, window)
-        loss_val = float(loss)
-        train_loss += loss_val
-        data.samples += batch_size
-        meter.tick()
-
-        if config["vis"].get("verbose"):
-            ev_per_step = float(window["event_list"].shape[0]
-                                * window["event_list"].shape[1]
-                                * window["event_list"].shape[2])
-            print(
-                f"Train Epoch: {data.epoch:04d} "
-                f"[{data.seq_num:03d}/{len(data.files):03d}] "
-                f"Loss: {train_loss / max(data.samples, 1):.6f} "
-                f"({meter.steps_per_s:.2f} step/s, "
-                f"{meter.mevents_per_s(ev_per_step):.1f} Mev/s)",
-                end="\r",
-            )
-
+    drain(0)
     tb.close()
     tracking.end_run()
     return runid
