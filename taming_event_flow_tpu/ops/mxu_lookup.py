@@ -25,6 +25,7 @@ unchanged.
 
 from __future__ import annotations
 
+import functools
 from functools import partial
 from typing import Tuple
 
@@ -143,20 +144,21 @@ def _factor_dtype(precision, dtype):
     return dtype
 
 
-def bilinear_gather_separable(img, loc, precision=None):
-    """Bilinear sampling as two dense contractions (small maps).
+def _axis_dweights(coord, size: int, dtype):
+    """Derivative of the triangle factor w.r.t. the coordinate, matching
+    jax autodiff of ``maximum(0, 1 - |d|)`` exactly (``d|d|/dd = +1`` at 0
+    so tri'(0) = -1; the max tie at |d| = 1 gives ∓0.5)."""
+    iota = jax.lax.broadcasted_iota(
+        jnp.int32, (1,) * coord.ndim + (size,), coord.ndim
+    ).astype(coord.dtype)
+    d = coord[..., None] - iota
+    a = jnp.abs(d)
+    sign = jnp.where(d >= 0.0, 1.0, -1.0)
+    mag = jnp.where(a < 1.0, 1.0, jnp.where(a == 1.0, 0.5, 0.0))
+    return (-sign * mag).astype(dtype)
 
-    ``out[e] = Σ_h Σ_w wy[e,h] · wx[e,w] · img[h,w]`` — the bilinear kernel
-    factorizes per axis, so sampling M points from an ``[H, W]`` map is one
-    ``[M,W]x[W,H]`` matmul + a masked row-reduction: pure MXU work instead
-    of a serialized gather. Cost M·H·W MACs — use only for maps up to
-    ~128x128 (the training resolution).
 
-    :param img: ``[B, H, W]``.
-    :param loc: ``[B, M, 2]`` fractional ``(y, x)``.
-    :return: ``[B, M]``.
-    """
-    precision = precision or default_precision()
+def _gather_separable_fwd_impl(img, loc, precision):
     h, w = img.shape[1], img.shape[2]
     fdt = _factor_dtype(precision, img.dtype)
     wy = _axis_weights(loc[..., 0], h, fdt)  # [B, M, H]
@@ -168,20 +170,70 @@ def bilinear_gather_separable(img, loc, precision=None):
     return jnp.sum(wy.astype(jnp.float32) * a, axis=-1).astype(img.dtype)
 
 
-def bilinear_splat_separable(loc, values, res: Tuple[int, int],
-                             precision=None):
-    """Bilinear scatter-add as one dense matmul per channel (small maps).
+@functools.lru_cache(maxsize=None)
+def _gather_separable_vjp(precision):
+    @jax.custom_vjp
+    def f(img, loc):
+        return _gather_separable_fwd_impl(img, loc, precision)
 
-    ``out[h,w,c] = Σ_e wy[e,h] · wx[e,w] · values[e,c]`` =
-    ``(Wy ⊙ v_c)ᵀ @ Wx``. Replaces the 4-tap index expansion + XLA scatter
-    (23-65 M updates/s measured) with MXU matmuls; numerics are identical to
-    the reference stencil because the bilinear weight factorizes exactly.
+    def fwd(img, loc):
+        return f(img, loc), (img, loc)
 
-    :param loc: ``[B, M, 2]`` fractional ``(y, x)`` (already purged).
-    :param values: ``[B, M, C]`` per-event channel values (masked weights).
-    :return: ``[B, H, W, C]``.
+    def bwd(resid, g):
+        # Hand-written separable backward. XLA's autodiff materializes f32
+        # factor-gradient tensors ([B, M, size] writes per factor) that made
+        # the loss backward ~8x its forward (measured, B=8 train step);
+        # here the dtri factors fuse into the reductions and only the two
+        # contraction outputs a/b materialize.
+        img, loc = resid
+        h, w = img.shape[1], img.shape[2]
+        fdt = _factor_dtype(precision, img.dtype)
+        wy = _axis_weights(loc[..., 0], h, fdt)
+        wx = _axis_weights(loc[..., 1], w, fdt)
+        dwy = _axis_dweights(loc[..., 0].astype(jnp.float32), h, jnp.float32)
+        dwx = _axis_dweights(loc[..., 1].astype(jnp.float32), w, jnp.float32)
+        imgf = img.astype(fdt)
+        a = jnp.einsum(
+            "bmw,bhw->bmh", wx, imgf, precision=precision,
+            preferred_element_type=jnp.float32,
+        )
+        b = jnp.einsum(
+            "bmh,bhw->bmw", wy, imgf, precision=precision,
+            preferred_element_type=jnp.float32,
+        )
+        gf = g.astype(jnp.float32)
+        d_y = jnp.sum(dwy * a, axis=-1) * gf
+        d_x = jnp.sum(dwx * b, axis=-1) * gf
+        wyg = wy.astype(jnp.float32) * gf[..., None]
+        d_img = jnp.einsum(
+            "bmh,bmw->bhw", wyg.astype(fdt), wx, precision=precision,
+            preferred_element_type=jnp.float32,
+        ).astype(img.dtype)
+        return d_img, jnp.stack([d_y, d_x], axis=-1).astype(loc.dtype)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def bilinear_gather_separable(img, loc, precision=None):
+    """Bilinear sampling as two dense contractions (small maps).
+
+    ``out[e] = Σ_h Σ_w wy[e,h] · wx[e,w] · img[h,w]`` — the bilinear kernel
+    factorizes per axis, so sampling M points from an ``[H, W]`` map is one
+    ``[M,W]x[W,H]`` matmul + a masked row-reduction: pure MXU work instead
+    of a serialized gather. Cost M·H·W MACs — use only for maps up to
+    ~128x128 (the training resolution). Differentiable via a hand-written
+    separable VJP (see ``_gather_separable_vjp``).
+
+    :param img: ``[B, H, W]``.
+    :param loc: ``[B, M, 2]`` fractional ``(y, x)``.
+    :return: ``[B, M]``.
     """
     precision = precision or default_precision()
+    return _gather_separable_vjp(precision)(img, loc)
+
+
+def _splat_separable_fwd_impl(loc, values, res, precision):
     h, w = res
     dtype = values.dtype
     fdt = _factor_dtype(precision, dtype)
@@ -197,3 +249,68 @@ def bilinear_splat_separable(loc, values, res: Tuple[int, int],
             )
         )
     return jnp.stack(chans, axis=-1).astype(dtype)
+
+
+@functools.lru_cache(maxsize=None)
+def _splat_separable_vjp(res, precision):
+    @jax.custom_vjp
+    def f(loc, values):
+        return _splat_separable_fwd_impl(loc, values, res, precision)
+
+    def fwd(loc, values):
+        return f(loc, values), (loc, values)
+
+    def bwd(resid, g):
+        # separable backward without factor-gradient materialization (see
+        # _gather_separable_vjp): per channel two contractions against the
+        # cotangent image, dtri factors fused into the reductions
+        loc, values = resid
+        h, w = res
+        fdt = _factor_dtype(precision, values.dtype)
+        wy = _axis_weights(loc[..., 0], h, fdt)
+        wx = _axis_weights(loc[..., 1], w, fdt)
+        dwy = _axis_dweights(loc[..., 0].astype(jnp.float32), h, jnp.float32)
+        dwx = _axis_dweights(loc[..., 1].astype(jnp.float32), w, jnp.float32)
+        wy32 = wy.astype(jnp.float32)
+        d_y = 0.0
+        d_x = 0.0
+        d_v = []
+        for c in range(values.shape[-1]):
+            gc = g[..., c].astype(fdt)
+            a = jnp.einsum(
+                "bmw,bhw->bmh", wx, gc, precision=precision,
+                preferred_element_type=jnp.float32,
+            )
+            b = jnp.einsum(
+                "bmh,bhw->bmw", wy, gc, precision=precision,
+                preferred_element_type=jnp.float32,
+            )
+            vc = values[..., c].astype(jnp.float32)
+            d_v.append(jnp.sum(wy32 * a, axis=-1))
+            d_y = d_y + vc * jnp.sum(dwy * a, axis=-1)
+            d_x = d_x + vc * jnp.sum(dwx * b, axis=-1)
+        return (
+            jnp.stack([d_y, d_x], axis=-1).astype(loc.dtype),
+            jnp.stack(d_v, axis=-1).astype(values.dtype),
+        )
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def bilinear_splat_separable(loc, values, res: Tuple[int, int],
+                             precision=None):
+    """Bilinear scatter-add as one dense matmul per channel (small maps).
+
+    ``out[h,w,c] = Σ_e wy[e,h] · wx[e,w] · values[e,c]`` =
+    ``(Wy ⊙ v_c)ᵀ @ Wx``. Replaces the 4-tap index expansion + XLA scatter
+    (23-65 M updates/s measured) with MXU matmuls; numerics are identical to
+    the reference stencil because the bilinear weight factorizes exactly.
+    Differentiable via a hand-written separable VJP.
+
+    :param loc: ``[B, M, 2]`` fractional ``(y, x)`` (already purged).
+    :param values: ``[B, M, C]`` per-event channel values (masked weights).
+    :return: ``[B, H, W, C]``.
+    """
+    precision = precision or default_precision()
+    return _splat_separable_vjp(tuple(res), precision)(loc, values)
