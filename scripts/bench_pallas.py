@@ -209,11 +209,16 @@ def train_step_bench():
             state = init_train_state(model, opt, batch, res[0], res[1], 2)
             step = make_train_step(model, opt, cfg, "Iterative", 32.0,
                                    donate=False)
-            t0 = time.perf_counter()
-            s1, loss = step(state, window)
-            sync(loss)
-            compile_s = time.perf_counter() - t0
-            t = bench(lambda st: step(st, window)[1], state, iters=10)
+            try:
+                t0 = time.perf_counter()
+                s1, loss = step(state, window)
+                sync(loss)
+                compile_s = time.perf_counter() - t0
+                t = bench(lambda st: step(st, window)[1], state, iters=10)
+            except Exception as e:  # forced-pallas can OOM the compiler
+                print(f"B={batch} {backend:6s}: FAILED "
+                      f"{type(e).__name__}", flush=True)
+                continue
             print(f"B={batch} {backend:6s}: {t*1e3:8.2f} ms/step "
                   f"loss={float(loss):.6f} (compile {compile_s:.1f}s)",
                   flush=True)

@@ -64,15 +64,31 @@ def _stencil(d, mode: int):
     return -sign * mag
 
 
-def _factors(y, x, oy, ox, th, tw, e, mode_y, mode_x, dtype):
-    """Tile-local triangle factors ``[E, TH]`` / ``[E, TW]``."""
-    # Mosaic's tpu.iota is integer-only — build int32 and convert (a float
-    # broadcasted_iota verifies in interpret mode but fails TPU lowering)
-    hy = jax.lax.broadcasted_iota(jnp.int32, (e, th), 1).astype(jnp.float32) + oy
-    hx = jax.lax.broadcasted_iota(jnp.int32, (e, tw), 1).astype(jnp.float32) + ox
-    wy = _stencil(y[:, None] - hy, mode_y)
-    wx = _stencil(x[:, None] - hx, mode_x)
-    return wy.astype(dtype), wx.astype(dtype)
+def _factor_pe(coord, off, size, e, mode, dtype):
+    """Pixel-major triangle factor ``[size, E]``: ``stencil(coord - pos)``.
+
+    Pixel index on SUBLANES, events on LANES — the MXU-native layout: the
+    splat contraction ``[TH, E] @ [E, TW]`` and the gather contraction
+    ``[TH, TW] @ [TW, E]`` are then standard ``[M, K] @ [K, N]`` forms
+    (contract lhs lanes against rhs sublanes) and need no Mosaic relayout.
+    (The original event-major ``[E, size]`` factors forced a sublane-axis
+    contraction — a per-cell transpose that dominated kernel time.)
+
+    Mosaic's tpu.iota is integer-only — build int32 and convert (a float
+    broadcasted_iota verifies in interpret mode but fails TPU lowering).
+    """
+    pos = jax.lax.broadcasted_iota(
+        jnp.int32, (size, e), 0
+    ).astype(jnp.float32) + off
+    return _stencil(coord[None, :] - pos, mode).astype(dtype)
+
+
+def _factor_ep(coord, off, size, e, mode, dtype):
+    """Event-major triangle factor ``[E, size]`` (events on sublanes)."""
+    pos = jax.lax.broadcasted_iota(
+        jnp.int32, (e, size), 1
+    ).astype(jnp.float32) + off
+    return _stencil(coord[:, None] - pos, mode).astype(dtype)
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -108,13 +124,13 @@ def _splat_kernel(y_ref, x_ref, v_ref, o_ref, *, mode_y, mode_x, bf16,
     oy = (pl.program_id(1) * th).astype(jnp.float32)
     ox = (pl.program_id(2) * tw).astype(jnp.float32)
     dtype = jnp.bfloat16 if bf16 else jnp.float32
-    wy, wx = _factors(y_ref[0, 0], x_ref[0, 0], oy, ox, th, tw, e,
-                      mode_y, mode_x, dtype)
+    wy_pe = _factor_pe(y_ref[0, 0], oy, th, e, mode_y, dtype)  # [TH, E]
+    wx_ep = _factor_ep(x_ref[0, 0], ox, tw, e, mode_x, dtype)  # [E, TW]
     for c in range(n_chan):
-        wxv = wx * v_ref[0, c][:, None].astype(dtype)
+        wxv = wx_ep * v_ref[0, c][:, None].astype(dtype)
         o_ref[0, c] += jax.lax.dot_general(
-            wy, wxv,
-            dimension_numbers=(((0,), (0,)), ((), ())),
+            wy_pe, wxv,
+            dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=None if bf16 else jax.lax.Precision.HIGHEST,
         )
@@ -187,16 +203,16 @@ def _gather_kernel(y_ref, x_ref, m_ref, o_ref, *, mode_y, mode_x, bf16,
     oy = (ti * th).astype(jnp.float32)
     ox = (tj * tw).astype(jnp.float32)
     dtype = jnp.bfloat16 if bf16 else jnp.float32
-    wy, wx = _factors(y_ref[0, 0], x_ref[0, 0], oy, ox, th, tw, e,
-                      mode_y, mode_x, dtype)
+    wy_pe = _factor_pe(y_ref[0, 0], oy, th, e, mode_y, dtype)  # [TH, E]
+    wx_pe = _factor_pe(x_ref[0, 0], ox, tw, e, mode_x, dtype)  # [TW, E]
     for c in range(n_chan):
         a = jax.lax.dot_general(
-            wx, m_ref[0, c].astype(dtype),
-            dimension_numbers=(((1,), (1,)), ((), ())),
+            m_ref[0, c].astype(dtype), wx_pe,
+            dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=None if bf16 else jax.lax.Precision.HIGHEST,
-        )  # [E, TH]
-        o_ref[0, c] += jnp.sum(wy.astype(jnp.float32) * a, axis=1)
+        )  # [TH, E]
+        o_ref[0, c] += jnp.sum(wy_pe.astype(jnp.float32) * a, axis=0)
 
 
 def gather_pallas(maps, loc):
@@ -269,29 +285,29 @@ def _gather_fused_kernel(y_ref, x_ref, v_ref, m_ref, gv_ref, dy_ref, dx_ref,
     oy = (ti * th).astype(jnp.float32)
     ox = (tj * tw).astype(jnp.float32)
     dtype = jnp.bfloat16 if bf16 else jnp.float32
-    wy, wx = _factors(y_ref[0, 0], x_ref[0, 0], oy, ox, th, tw, e,
-                      TRI, TRI, dtype)
-    dwy, dwx = _factors(y_ref[0, 0], x_ref[0, 0], oy, ox, th, tw, e,
-                        DTRI, DTRI, dtype)
-    wy32 = wy.astype(jnp.float32)
-    dwy32 = dwy.astype(jnp.float32)
+    wy_pe = _factor_pe(y_ref[0, 0], oy, th, e, TRI, dtype)  # [TH, E]
+    wx_pe = _factor_pe(x_ref[0, 0], ox, tw, e, TRI, dtype)  # [TW, E]
+    dwy_pe = _factor_pe(y_ref[0, 0], oy, th, e, DTRI, dtype)
+    dwx_pe = _factor_pe(x_ref[0, 0], ox, tw, e, DTRI, dtype)
+    wy32 = wy_pe.astype(jnp.float32)
+    dwy32 = dwy_pe.astype(jnp.float32)
     prec = None if bf16 else jax.lax.Precision.HIGHEST
     dy_acc = jnp.zeros((e,), jnp.float32)
     dx_acc = jnp.zeros((e,), jnp.float32)
     for c in range(n_chan):
         mc = m_ref[0, c].astype(dtype)
         a = jax.lax.dot_general(
-            wx, mc, dimension_numbers=(((1,), (1,)), ((), ())),
+            mc, wx_pe, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec,
-        )  # [E, TH] — tri-x contraction
+        )  # [TH, E] — tri-x contraction
         b = jax.lax.dot_general(
-            dwx, mc, dimension_numbers=(((1,), (1,)), ((), ())),
+            mc, dwx_pe, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec,
-        )  # [E, TH] — dtri-x contraction
+        )  # [TH, E] — dtri-x contraction
         vc = v_ref[0, c].astype(jnp.float32)
-        gv_ref[0, c] += jnp.sum(wy32 * a, axis=1)
-        dy_acc += vc * jnp.sum(dwy32 * a, axis=1)
-        dx_acc += vc * jnp.sum(wy32 * b, axis=1)
+        gv_ref[0, c] += jnp.sum(wy32 * a, axis=0)
+        dy_acc += vc * jnp.sum(dwy32 * a, axis=0)
+        dx_acc += vc * jnp.sum(wy32 * b, axis=0)
     dy_ref[0, 0] += dy_acc
     dx_ref[0, 0] += dx_acc
 
@@ -304,7 +320,11 @@ def _gather_fused_raw(maps, loc, values):
     b, h, w, c = maps.shape
     m = loc.shape[1]
     hp, wp = _round_up(h, _TILE_H), _round_up(w, _TILE_W)
-    e = min(_CHUNK, _round_up(m, 128))
+    # the fused kernel holds 4 factor arrays + 2 contraction buffers per
+    # cell — halve the chunk (and halve again for f32 factors) to stay
+    # inside the 16 MB scoped-VMEM limit
+    chunk = _CHUNK // (2 if _use_bf16() else 4)
+    e = min(chunk, _round_up(m, 128))
     mp = _round_up(m, e)
 
     y = loc[..., 0].astype(jnp.float32)
