@@ -233,6 +233,86 @@ def bilinear_gather_separable(img, loc, precision=None):
     return _gather_separable_vjp(precision)(img, loc)
 
 
+def _gather_separable_multi_fwd_impl(maps, loc, precision):
+    h, w = maps.shape[1], maps.shape[2]
+    fdt = _factor_dtype(precision, maps.dtype)
+    wy = _axis_weights(loc[..., 0], h, fdt)  # [B, M, H]
+    wx = _axis_weights(loc[..., 1], w, fdt)  # [B, M, W]
+    wy32 = wy.astype(jnp.float32)
+    outs = []
+    for c in range(maps.shape[-1]):
+        a = jnp.einsum(
+            "bmw,bhw->bmh", wx, maps[..., c].astype(fdt),
+            precision=precision, preferred_element_type=jnp.float32,
+        )
+        outs.append(jnp.sum(wy32 * a, axis=-1))
+    return jnp.stack(outs, axis=-1).astype(maps.dtype)
+
+
+@functools.lru_cache(maxsize=None)
+def _gather_separable_multi_vjp(precision):
+    @jax.custom_vjp
+    def f(maps, loc):
+        return _gather_separable_multi_fwd_impl(maps, loc, precision)
+
+    def fwd(maps, loc):
+        return f(maps, loc), (maps, loc)
+
+    def bwd(resid, g):
+        # multi-channel separable backward: ONE factor build shared by all
+        # channels (see _gather_separable_vjp for the single-channel story)
+        maps, loc = resid
+        h, w = maps.shape[1], maps.shape[2]
+        fdt = _factor_dtype(precision, maps.dtype)
+        wy = _axis_weights(loc[..., 0], h, fdt)
+        wx = _axis_weights(loc[..., 1], w, fdt)
+        dwy = _axis_dweights(loc[..., 0].astype(jnp.float32), h, jnp.float32)
+        dwx = _axis_dweights(loc[..., 1].astype(jnp.float32), w, jnp.float32)
+        wy32 = wy.astype(jnp.float32)
+        d_y = 0.0
+        d_x = 0.0
+        d_maps = []
+        for c in range(maps.shape[-1]):
+            imgf = maps[..., c].astype(fdt)
+            a = jnp.einsum(
+                "bmw,bhw->bmh", wx, imgf, precision=precision,
+                preferred_element_type=jnp.float32,
+            )
+            b = jnp.einsum(
+                "bmh,bhw->bmw", wy, imgf, precision=precision,
+                preferred_element_type=jnp.float32,
+            )
+            gc = g[..., c].astype(jnp.float32)
+            d_y = d_y + jnp.sum(dwy * a, axis=-1) * gc
+            d_x = d_x + jnp.sum(dwx * b, axis=-1) * gc
+            wyg = (wy32 * gc[..., None]).astype(fdt)
+            d_maps.append(
+                jnp.einsum(
+                    "bmh,bmw->bhw", wyg, wx, precision=precision,
+                    preferred_element_type=jnp.float32,
+                )
+            )
+        return (
+            jnp.stack(d_maps, axis=-1).astype(maps.dtype),
+            jnp.stack([d_y, d_x], axis=-1).astype(loc.dtype),
+        )
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def bilinear_gather_separable_multi(maps, loc, precision=None):
+    """Multi-channel :func:`bilinear_gather_separable`: factors built once
+    and shared across channels.
+
+    :param maps: ``[B, H, W, C]``.
+    :param loc: ``[B, M, 2]`` fractional ``(y, x)``.
+    :return: ``[B, M, C]``.
+    """
+    precision = precision or default_precision()
+    return _gather_separable_multi_vjp(precision)(maps, loc)
+
+
 def _splat_separable_fwd_impl(loc, values, res, precision):
     h, w = res
     dtype = values.dtype

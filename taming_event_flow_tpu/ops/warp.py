@@ -108,12 +108,9 @@ def gather_values(maps, loc):
 
         return gather_grad(maps, loc)
     if use_separable(h * w):
-        from .mxu_lookup import bilinear_gather_separable
+        from .mxu_lookup import bilinear_gather_separable_multi
 
-        return jnp.stack(
-            [bilinear_gather_separable(maps[..., i], loc) for i in range(c)],
-            axis=-1,
-        )
+        return bilinear_gather_separable_multi(maps, loc)
     return jnp.stack(
         [_bilinear_sample_taps(maps[..., i], loc) for i in range(c)],
         axis=-1,

@@ -1,4 +1,10 @@
 from .mesh import make_mesh, shard_window, shard_state, replicate, batch_sharding
+from .eval import (
+    EVAL_EVENT_AXIS,
+    make_eval_mesh,
+    shard_eval_batch,
+    shard_val_state,
+)
 from .event import (
     EVENT_AXIS,
     make_event_mesh,
@@ -8,6 +14,10 @@ from .event import (
 )
 
 __all__ = [
+    "EVAL_EVENT_AXIS",
+    "make_eval_mesh",
+    "shard_eval_batch",
+    "shard_val_state",
     "EVENT_AXIS",
     "make_event_mesh",
     "make_event_parallel_train_step",

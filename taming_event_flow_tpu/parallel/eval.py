@@ -1,0 +1,63 @@
+"""Event-sharded evaluation: multi-chip inference for large-map protocols.
+
+Eval runs at batch 1 (the reference forces it, ``eval_flow.py:30``), so the
+only parallel axis with real work on it is the EVENT dimension of the
+validation slot state. Everything per-event in ``IterativeValidation.update``
+(incremental forward warps, the backward re-warp scan, purging) is
+embarrassingly parallel across that axis; flow maps and the pixel-space
+accumulators are tiny and stay replicated.
+
+This module uses plain GSPMD — ``NamedSharding`` annotations on the slot
+state + ``jit`` — rather than ``shard_map``: XLA propagates the event-axis
+sharding through the elementwise warp math with zero collectives in
+``update``, and inserts the gather/reduce collectives for the window-level
+metric reducers (FWL/RSAT splats) on its own. That is the scaling-book
+recipe: pick a mesh, annotate, let the compiler place the communication.
+
+Constraint: ``round_ts`` must be off (its global ``min`` over events would
+silently become a per-shard min under sharding; the default protocols never
+enable it at eval).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+EVAL_EVENT_AXIS = "event"
+
+# ValState fields whose axis 2 is the event dimension ([P, B, N, ...])
+_EVENT_FIELDS = (
+    "event_ts", "event_loc", "pol_mask",
+    "fw_loc", "fw_ts", "fw_mask", "bw_loc", "bw_mask",
+)
+
+
+def make_eval_mesh(n_devices: Optional[int] = None,
+                   devices: Optional[Sequence] = None) -> Mesh:
+    """1-D mesh over the event axis for sharded evaluation."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (EVAL_EVENT_AXIS,))
+
+
+def shard_val_state(state, mesh: Mesh):
+    """Place a ``ValState``: event-dim buffers shard on N, rest replicated."""
+    ev = NamedSharding(mesh, P(None, None, EVAL_EVENT_AXIS))
+    rep = NamedSharding(mesh, P())
+    placed = {}
+    for name, leaf in state._asdict().items():
+        sh = ev if name in _EVENT_FIELDS else rep
+        placed[name] = jax.device_put(leaf, sh)
+    return type(state)(**placed)
+
+
+def shard_eval_batch(event_list, pol_mask, mesh: Mesh):
+    """Place per-pass event inputs (``[B, N, ...]``) sharded on N."""
+    sh = NamedSharding(mesh, P(None, EVAL_EVENT_AXIS))
+    return jax.device_put(event_list, sh), jax.device_put(pol_mask, sh)
