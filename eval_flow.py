@@ -121,7 +121,26 @@ def test(args, config_parser: YAMLParser):
     )
     n_slots = config["loader"].get("n_events_pad") or 4096
     criteria = val_cls(val_cfg, 1, n_slots)
-    vstate = criteria.init()
+
+    # multi-chip inference: shard the slot state's event axis (GSPMD; the
+    # per-event warp math needs no collectives — parallel/eval.py)
+    eval_mesh = None
+    n_dev = len(jax.devices())
+    if n_dev > 1 and n_slots % n_dev == 0 and not val_cfg.round_ts:
+        from taming_event_flow_tpu.parallel.eval import (
+            make_eval_mesh,
+            shard_eval_batch,
+            shard_val_state,
+        )
+
+        eval_mesh = make_eval_mesh()
+        print(f"Event-sharded eval over {n_dev} devices")
+
+    def fresh_state():
+        s = criteria.init()
+        return shard_val_state(s, eval_mesh) if eval_mesh else s
+
+    vstate = fresh_state()
     # donate the slot state: XLA updates the big per-pass buffers in place
     update = jax.jit(criteria.update, donate_argnums=(0,))
 
@@ -147,7 +166,7 @@ def test(args, config_parser: YAMLParser):
                     data.seq_name, max=data.get_iters(data.lanes[0])
                 )
             carry = model.init_state(1, res[0], res[1])
-            vstate = criteria.init()
+            vstate = fresh_state()
 
         if config["data"]["mode"] == "gtflow" and batch["ts_jump_reset"].any():
             data.clear_ts_jump()
@@ -195,10 +214,12 @@ def test(args, config_parser: YAMLParser):
                 )
             )
 
+        ev_in = jnp.asarray(batch["event_list"])
+        pol_in = jnp.asarray(batch["event_list_pol_mask"])
+        if eval_mesh is not None:
+            ev_in, pol_in = shard_eval_batch(ev_in, pol_in, eval_mesh)
         vstate = update(
-            vstate, flow_fine,
-            jnp.asarray(batch["event_list"]),
-            jnp.asarray(batch["event_list_pol_mask"]),
+            vstate, flow_fine, ev_in, pol_in,
             jnp.asarray(batch["event_mask"]),
         )
 
@@ -277,7 +298,7 @@ def test(args, config_parser: YAMLParser):
                         )
                         val_results[sequence][metric]["it"] += 1
 
-            vstate = criteria.init()
+            vstate = fresh_state()
 
         if config["vis"].get("enabled") or config["vis"].get("store"):
             vis.data["flow"] = flow_vis
