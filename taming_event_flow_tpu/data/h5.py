@@ -99,6 +99,11 @@ class _Lane:
         # playback ts endpoints
         self.t_min: float = 0.0
         self.t_max: float = 0.0
+        # coarse in-memory ts index (built lazily per file)
+        self.ts_coarse: Optional[np.ndarray] = None
+        self.ts_stride: int = 1
+        self.ds: Dict = {}
+        self.attrs: Dict = {}
 
 
 class H5Loader(BaseStreamLoader):
@@ -141,6 +146,11 @@ class H5Loader(BaseStreamLoader):
         lane.last_proc_timestamp = 0.0
         lane.path = self.files[lane.file_idx % len(self.files)]
         lane.file = h5py.File(lane.path, "r")
+        lane.ts_coarse = None  # rebuilt lazily for the new file
+        # cache dataset handles + scalar attrs: each h5py group/attr lookup
+        # costs ~0.1 ms, and the streaming loop probes them constantly
+        lane.ds = {k: lane.file["events/" + k] for k in ("xs", "ys", "ts", "ps")}
+        lane.attrs = dict(lane.file.attrs)
 
         lane.playback = bool(
             self.batch_augmentation.get("Playback", [False] * self.batch_size)[
@@ -218,20 +228,62 @@ class H5Loader(BaseStreamLoader):
     # -------------------------------------------------------- event access
 
     def _num_events(self, lane):
-        return lane.file["events/xs"].shape[0]
+        return lane.ds["xs"].shape[0]
 
     def _virtual_ts(self, lane):
         """Timestamp getter honoring the virtual Playback reversal."""
-        ts = lane.file["events/ts"]
+        ts = lane.ds["ts"]
         n = ts.shape[0]
         if not lane.playback:
             return (lambda i: ts[i]), n
         off = lane.t_max + lane.t_min
         return (lambda i: off - ts[n - 1 - i]), n
 
+    def _ts_coarse(self, lane: _Lane):
+        """Coarse in-memory timestamp index: every K-th raw ts.
+
+        Timestamp binary search through per-element h5py reads was the #1
+        host cost of window production (~9 single-element dataset reads per
+        probe, measured via cProfile); with the coarse index a lookup is one
+        in-memory searchsorted + ONE bulk read of a <=K-element slice.
+        """
+        if lane.ts_coarse is None:
+            ts = lane.ds["ts"]
+            n = ts.shape[0]
+            # sequences up to ~2M events (16 MB of f64) load fully -> every
+            # probe is a pure in-memory searchsorted; larger files keep a
+            # <= ~64k-point stride index (0.5 MB) + one slice read per probe
+            lane.ts_stride = 1 if n <= 2_000_000 else max(1, n // 65536)
+            lane.ts_coarse = np.asarray(ts[:: lane.ts_stride])
+        return lane.ts_coarse, lane.ts_stride
+
+    def _bisect_raw(self, lane: _Lane, value, side: str) -> int:
+        """searchsorted over the raw on-disk ts via coarse index + slice."""
+        n = self._num_events(lane)
+        if n == 0:
+            return 0
+        coarse, k = self._ts_coarse(lane)
+        j = int(np.searchsorted(coarse, value, side=side))
+        if k == 1:
+            return j
+        lo = max(0, (j - 1) * k)
+        hi = min(n, j * k + 1)
+        seg = np.asarray(lane.ds["ts"][lo:hi])
+        return lo + int(np.searchsorted(seg, value, side=side))
+
     def find_ts_index(self, lane: _Lane, timestamp: float) -> int:
-        get, n = self._virtual_ts(lane)
-        return bisect_getter(get, n, timestamp)
+        """Leftmost insertion point of ``timestamp`` in the (virtual) ts
+        stream — identical to ``bisect_getter`` over ``_virtual_ts`` but via
+        the coarse index (pinned by ``tests/test_data.py``)."""
+        n = self._num_events(lane)
+        if not lane.playback:
+            return self._bisect_raw(lane, timestamp, "left")
+        # virtual stream: get(i) = off - ts[n-1-i] (increasing in i).
+        # bisect_left == smallest i with get(i) >= t; with r = rightmost raw
+        # index where ts[r] <= off - t this is n-1-r (n if none qualify).
+        off = lane.t_max + lane.t_min
+        r = self._bisect_raw(lane, off - timestamp, "right") - 1
+        return n - 1 - r  # r in [-1, n-1] -> result in [0, n]
 
     def _read_events(self, lane: _Lane, idx0: int, idx1: int):
         """Read a window, honoring virtual playback reversal."""
@@ -256,7 +308,7 @@ class H5Loader(BaseStreamLoader):
         """Window read + t0 shift + gt temporal-discontinuity detection
         (reference ``h5.py:127-162``)."""
         xs, ys, ts, ps = self._read_events(lane, idx0, idx1)
-        ts = ts - lane.file.attrs["t0"]
+        ts = ts - lane.attrs["t0"]
 
         ts_jump = False
         if self.mode == "gtflow" and ts.shape[0] > 0:
@@ -281,7 +333,7 @@ class H5Loader(BaseStreamLoader):
         if self.mode == "events":
             total = self._num_events(lane)
         elif self.mode == "time":
-            total = lane.file.attrs["duration"]
+            total = lane.attrs["duration"]
         elif self.mode == "gtflow":
             total = len(lane.flowmaps.ts_to) - 1
         else:
@@ -295,7 +347,7 @@ class H5Loader(BaseStreamLoader):
             idx0 = int(lane.row)
             idx1 = int(lane.row) + int(self.window)
         elif self.mode == "time":
-            t0 = lane.file.attrs["t0"]
+            t0 = lane.attrs["t0"]
             idx0 = self.find_ts_index(lane, lane.row + t0)
             idx1 = self.find_ts_index(lane, lane.row + t0 + self.window)
         elif self.mode == "gtflow":
@@ -304,7 +356,7 @@ class H5Loader(BaseStreamLoader):
                 idx -= 1
             idx0 = self.find_ts_index(lane, lane.flowmaps.ts_from[idx])
             idx1 = self.find_ts_index(lane, lane.flowmaps.ts_to[idx])
-            if lane.flowmaps.ts_to[idx] > lane.file.attrs["tk"]:
+            if lane.flowmaps.ts_to[idx] > lane.attrs["tk"]:
                 restart = True
             if self.window < 1.0:
                 floor_row = int(np.floor(lane.row))
@@ -378,7 +430,7 @@ class H5Loader(BaseStreamLoader):
 
             if (self.mode == "events" and xs.shape[0] < self.window) or (
                 self.mode == "time"
-                and lane.row + self.window >= lane.file.attrs["duration"]
+                and lane.row + self.window >= lane.attrs["duration"]
             ):
                 restart = True
 

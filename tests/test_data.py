@@ -276,3 +276,40 @@ def test_fixed_event_cap_truncates_with_warning(dataset_dir):
         b2 = loader2.next_batch()
     assert b2["event_list"].shape[1] == 1024
     assert loader2.truncated_events == 0
+
+
+def test_find_ts_index_matches_bisect_getter(dataset_dir):
+    """The coarse-index timestamp search equals the exact per-element
+    bisection for both raw and playback-virtual streams (incl. duplicate
+    timestamps and out-of-range probes)."""
+    from taming_event_flow_tpu.data.h5 import H5Loader, bisect_getter
+
+    cfg = {
+        "data": {"path": str(dataset_dir), "mode": "time", "window": 0.05,
+                 "passes_loss": 2, "cache": False, "voxel": None,
+                 "scales_loss": 1},
+        "loader": {"resolution": [16, 16], "batch_size": 1, "augment": [],
+                   "max_num_grad_events": None, "n_events_pad": None,
+                   "seed": 3, "n_epochs": 1},
+        "loss": {}, "vis": {},
+    }
+    data = H5Loader(cfg)
+    lane = data.lanes[0]
+    # force a tiny stride so the coarse path actually brackets
+    lane.ts_coarse = None
+    ts = np.asarray(lane.file["events/ts"])
+    lane.ts_stride = 7
+    lane.ts_coarse = ts[::7]
+
+    t0, tk = float(ts[0]), float(ts[-1])
+    probes = list(np.linspace(t0 - 0.1, tk + 0.1, 23)) + [
+        t0, tk, float(ts[len(ts) // 2])
+    ]
+    for playback in (False, True):
+        lane.playback = playback
+        lane.t_min, lane.t_max = t0, tk
+        get, n = data._virtual_ts(lane)
+        for t in probes:
+            assert data.find_ts_index(lane, t) == bisect_getter(get, n, t), (
+                playback, t
+            )
