@@ -50,15 +50,15 @@ def _synthetic_events(rng, shape, res):
     return jnp.asarray(ev), jnp.asarray(pol, jnp.float32)
 
 
-def bench_eval_protocol(res, passes, n_events, iters=10,
-                        track_fw_prop=True):
+def bench_eval_protocol(res, passes, n_events, iters=10, full_vis=True):
     """Model forward + Iterative validation update per pass at an eval
     protocol's shapes. Covers both DSEC (480x640, 10 passes) and MVSEC
     (260x346, 1 pass). Reports per-pass latency and GT-frames/s.
 
-    ``track_fw_prop=False`` is the DSEC submission configuration
+    ``full_vis=False`` is the DSEC submission configuration
     (``configs/eval_dsec.yml`` shows only ``flow_bw``; the fw-propagated
-    maps feed nothing on that path — see ``ValConfig.track_fw_prop``)."""
+    maps and the per-pass backward re-warp feed nothing on that path — see
+    ``ValConfig.track_fw_prop`` / ``track_bw``)."""
     import jax
     import jax.numpy as jnp
 
@@ -73,7 +73,8 @@ def bench_eval_protocol(res, passes, n_events, iters=10,
     forward = make_forward_fn(model)
 
     val = IterativeValidation(
-        ValConfig(res=res, passes=passes, track_fw_prop=track_fw_prop),
+        ValConfig(res=res, passes=passes, track_fw_prop=full_vis,
+                  track_bw=full_vis),
         1, n_events)
     vstate = val.init()
     update = jax.jit(val.update, donate_argnums=(0,))
@@ -153,7 +154,7 @@ def main():
     dt1, mev1 = bench_train(batch=1)
     # DSEC-Flow benchmark inference = the submission path (flow_bw only)
     dsec = bench_eval_protocol((480, 640), passes=10, n_events=32768,
-                               track_fw_prop=False)
+                               full_vis=False)
     mvsec = bench_eval_protocol((260, 346), passes=1, n_events=16384)
 
     print(json.dumps({

@@ -118,6 +118,10 @@ def test(args, config_parser: YAMLParser):
         # forward-propagated flow maps feed only the "forward"-mode flow
         # visualization; metrics and the DSEC flow_bw path never read them
         track_fw_prop=want_vis("flow_dynamic") or want_vis("flow_window"),
+        # the per-pass backward re-warp feeds only the backward-IWE
+        # visualizations (flow_bw itself comes from the accumulated grid
+        # warp)
+        track_bw=want_vis("iwe_bw_dynamic") or want_vis("iwe_bw_window"),
     )
     n_slots = config["loader"].get("n_events_pad") or 4096
     criteria = val_cls(val_cfg, 1, n_slots)

@@ -37,6 +37,12 @@ class ValConfig(NamedTuple):
     # DSEC scale they are ~P full-map self-splats per pass, so headless eval
     # turns them off.
     track_fw_prop: bool = True
+    # The backward re-warp of each arriving window to t=0 (reference
+    # ``loss/flow_val.py:519-556``) feeds only ``window_iwe("backward")``
+    # visualizations — the DSEC ``flow_bw`` submission quantity comes from
+    # the accumulated grid warp (``accum_flow``), and FWL/RSAT/AEE never
+    # read it. A P-step gather scan per pass at DSEC scale; gate likewise.
+    track_bw: bool = True
 
 
 def _purge(loc, mask, res):
@@ -211,37 +217,8 @@ class IterativeValidation:
 
         # --- backward warping of THIS window to t=0 through all stored maps
         # (reference flow_val.py:519-556)
-        def bw_step(carry, tau):
-            bl, bts = carry
-            act = (tau <= p_cur).astype(jnp.float32)
-            fmap = state.flow_maps[tau]
-            bflow = get_event_flow(fmap, bl[0])
-            tau_f = tau.astype(jnp.float32)
-            nl = bl[0] + (tau_f - bts[0]) * bflow
-            inside = (
-                (nl[..., 0:1] >= 0)
-                & (nl[..., 0:1] <= res[0] - 1.0)
-                & (nl[..., 1:2] >= 0)
-                & (nl[..., 1:2] <= res[1] - 1.0)
-            ).astype(jnp.float32)
-            nl = nl * inside
-            nm = bl[1] * inside
-            new_loc = jnp.where(act > 0, nl, bl[0])
-            new_mask = jnp.where(act > 0, nm, bl[1])
-            new_ts = jnp.where(act > 0, tau_f, bts[0])
-            return ((new_loc, new_mask), (new_ts,)), None
-
-        (bw_final, _), _ = jax.lax.scan(
-            lambda c, t: bw_step(c, t),
-            ((loc, pol_mask), (ts,)),
-            jnp.arange(cfg.passes, dtype=jnp.int32),
-            reverse=True,
-        )
-        bw_loc_new, bw_mask_new = bw_final
-        state = state._replace(
-            bw_loc=put(state.bw_loc, bw_loc_new),
-            bw_mask=put(state.bw_mask, bw_mask_new),
-        )
+        if cfg.track_bw:
+            state = self._update_bw(state, loc, pol_mask, ts, p_cur, res, put)
 
         # --- forward-propagated flow maps: every older slot advances one
         # step along itself (reference flow_val.py:558-576)
@@ -286,6 +263,39 @@ class IterativeValidation:
         )
         return state
 
+    def _update_bw(self, state, loc, pol_mask, ts, p_cur, res, put):
+        def bw_step(carry, tau):
+            bl, bts = carry
+            act = (tau <= p_cur).astype(jnp.float32)
+            fmap = state.flow_maps[tau]
+            bflow = get_event_flow(fmap, bl[0])
+            tau_f = tau.astype(jnp.float32)
+            nl = bl[0] + (tau_f - bts[0]) * bflow
+            inside = (
+                (nl[..., 0:1] >= 0)
+                & (nl[..., 0:1] <= res[0] - 1.0)
+                & (nl[..., 1:2] >= 0)
+                & (nl[..., 1:2] <= res[1] - 1.0)
+            ).astype(jnp.float32)
+            nl = nl * inside
+            nm = bl[1] * inside
+            new_loc = jnp.where(act > 0, nl, bl[0])
+            new_mask = jnp.where(act > 0, nm, bl[1])
+            new_ts = jnp.where(act > 0, tau_f, bts[0])
+            return ((new_loc, new_mask), (new_ts,)), None
+
+        (bw_final, _), _ = jax.lax.scan(
+            lambda c, t: bw_step(c, t),
+            ((loc, pol_mask), (ts,)),
+            jnp.arange(self.cfg.passes, dtype=jnp.int32),
+            reverse=True,
+        )
+        bw_loc_new, bw_mask_new = bw_final
+        return state._replace(
+            bw_loc=put(state.bw_loc, bw_loc_new),
+            bw_mask=put(state.bw_mask, bw_mask_new),
+        )
+
     # ---------------- window accessors (reference flow_val.py:630-678) ----
 
     def _flat_events(self, loc, mask):
@@ -304,6 +314,10 @@ class IterativeValidation:
         if mode == "forward":
             loc, mask = self._flat_events(state.fw_loc, state.fw_mask)
         elif mode == "backward":
+            if not self.cfg.track_bw:
+                raise ValueError(
+                    "window_iwe('backward') needs ValConfig.track_bw=True"
+                )
             loc, mask = self._flat_events(state.bw_loc, state.bw_mask)
         else:
             raise ValueError(f"Invalid IWE mode: {mode}")
