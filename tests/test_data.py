@@ -313,3 +313,24 @@ def test_find_ts_index_matches_bisect_getter(dataset_dir):
             assert data.find_ts_index(lane, t) == bisect_getter(get, n, t), (
                 playback, t
             )
+
+
+def test_prefetcher_order_and_exceptions():
+    """Prefetcher preserves order exactly and re-raises producer errors."""
+    from taming_event_flow_tpu.data.prefetch import Prefetcher
+
+    assert list(Prefetcher(iter(range(100)), depth=3)) == list(range(100))
+
+    def boom():
+        yield 1
+        yield 2
+        raise RuntimeError("producer died")
+
+    it = iter(Prefetcher(boom(), depth=2))
+    assert next(it) == 1
+    assert next(it) == 2
+    try:
+        next(it)
+        raise AssertionError("expected RuntimeError")
+    except RuntimeError as e:
+        assert "producer died" in str(e)
