@@ -37,7 +37,8 @@ def get_warp_backend() -> str:
     return _backend
 
 
-def use_pallas(hw: int, for_gather: bool = False) -> bool:
+def use_pallas(hw: int, for_gather: bool = False,
+               n_channels: int = 1) -> bool:
     """Resolve the backend for a map of ``hw`` pixels (trace-time)."""
     if _backend == "pallas":
         return True
@@ -45,10 +46,13 @@ def use_pallas(hw: int, for_gather: bool = False) -> bool:
         return False
     if for_gather:
         return False  # XLA taps win for gathers at every size (see above)
-    return (
-        hw > SMALL_MAP_PX
-        and jax.devices()[0].platform == "tpu"
-    )
+    if jax.devices()[0].platform != "tpu":
+        return False
+    # small-map splats: the separable einsum materializes a per-channel
+    # [B, M, size] factor product; at C >= 4 (the fused IWE shape) the
+    # VMEM-factor Pallas kernel wins (B=8 M=61440: fwd 2.24 vs 3.58 ms,
+    # vjp 3.26 vs 4.88 — scripts/bench_pallas.py trainscale)
+    return hw > SMALL_MAP_PX or n_channels >= 4
 
 
 def use_separable(hw: int) -> bool:

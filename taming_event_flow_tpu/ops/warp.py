@@ -303,7 +303,7 @@ def splat_values(loc, values, res: Res, round_idx: bool = False):
     if round_idx:
         loc = jax.lax.stop_gradient(jnp.round(loc))
     hw = res[0] * res[1]
-    if use_pallas(hw):
+    if use_pallas(hw, n_channels=values.shape[-1]):
         from .pallas_warp import splat_grad
 
         return splat_grad(loc, values, res)
