@@ -43,18 +43,11 @@ def main():
     opt = build_optimizer({"name": "Adam", "lr": 1e-5}, clip_grad=100.0)
     state = init_train_state(model, opt, batch, res[0], res[1], 2)
 
-    net = jnp.asarray(
-        rng.normal(size=(passes, batch, res[0], res[1], 2)), jnp.float32)
-    ev = np.zeros((passes, batch, n, 4), np.float32)
-    ev[..., 0] = rng.uniform(0, 1, (passes, batch, n))
-    ev[..., 1] = rng.integers(0, res[0], (passes, batch, n))
-    ev[..., 2] = rng.integers(0, res[1], (passes, batch, n))
-    ev[..., 3] = rng.choice([-1.0, 1.0], (passes, batch, n))
-    ev = jnp.asarray(ev)
-    pol = jnp.asarray(
-        np.stack([(np.asarray(ev)[..., 3] > 0),
-                  (np.asarray(ev)[..., 3] < 0)], -1), jnp.float32)
-    gmask = jnp.ones((passes, batch, n, 1), jnp.float32)
+    from bench_util import synthetic_window
+
+    w = synthetic_window(rng, passes, batch, n, res)
+    net, ev, pol, gmask = (w["net_input"], w["event_list"], w["pol_mask"],
+                           w["grad_mask"])
 
     print("device:", jax.devices()[0], flush=True)
 
@@ -75,14 +68,17 @@ def main():
     t = bench(f_fb, state.params, state.carry, net)
     print(f"model scan fwd+bwd       : {t*1e3:8.2f} ms", flush=True)
 
-    # loss alone on precomputed flows: fwd and fwd+bwd
+    # loss alone on precomputed flows: fwd and fwd+bwd. CLAUDE.md rule:
+    # all device arrays ride as explicit jit ARGUMENTS (closures become HLO
+    # constants and distort timings on this stack)
     flows = f_fwd(state.params, state.carry, net)
-    loss_f = jax.jit(lambda fl: iterative_loss(fl, ev, pol, gmask, cfg))
-    t = bench(loss_f, flows)
+    loss_f = jax.jit(
+        lambda fl, e, p_, g: iterative_loss(fl, e, p_, g, cfg))
+    t = bench(loss_f, flows, ev, pol, gmask)
     print(f"iterative loss fwd       : {t*1e3:8.2f} ms", flush=True)
     loss_g = jax.jit(jax.grad(
-        lambda fl: iterative_loss(fl, ev, pol, gmask, cfg)))
-    t = bench(loss_g, flows)
+        lambda fl, e, p_, g: iterative_loss(fl, e, p_, g, cfg)))
+    t = bench(loss_g, flows, ev, pol, gmask)
     print(f"iterative loss fwd+bwd   : {t*1e3:8.2f} ms", flush=True)
 
 

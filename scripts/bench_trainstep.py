@@ -8,6 +8,7 @@ import sys
 import time
 
 sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/scripts")
 import numpy as np, jax, jax.numpy as jnp
 from taming_event_flow_tpu.models import RecEVFlowNet
 from taming_event_flow_tpu.objectives import LossConfig
@@ -20,18 +21,10 @@ def sync(x):
 
 for batch in (8, 1):
     res, passes, n = (128, 128), 10, 8192
+    from bench_util import synthetic_window
+
     rng = np.random.default_rng(0)
-    ev = np.zeros((passes, batch, n, 4), np.float32)
-    ev[..., 0] = rng.uniform(0, 1, (passes, batch, n))
-    ev[..., 1] = rng.integers(0, res[0], (passes, batch, n))
-    ev[..., 2] = rng.integers(0, res[1], (passes, batch, n))
-    ev[..., 3] = rng.choice([-1.0, 1.0], (passes, batch, n))
-    window = {
-        "net_input": jnp.asarray(rng.normal(size=(passes, batch, res[0], res[1], 2)), jnp.float32),
-        "event_list": jnp.asarray(ev),
-        "pol_mask": jnp.asarray(np.stack([(ev[..., 3] > 0), (ev[..., 3] < 0)], -1), jnp.float32),
-        "grad_mask": jnp.ones((passes, batch, n, 1), jnp.float32),
-    }
+    window = synthetic_window(rng, passes, batch, n, res)
     model = RecEVFlowNet(num_bins=2, final_w_scale=0.01)
     cfg = LossConfig(res=res, passes_loss=passes)
     opt = build_optimizer({"name": "Adam", "lr": 1e-5}, clip_grad=100.0)

@@ -29,3 +29,32 @@ def timeit(fn, *args, iters: int = 20):
         out = fn(*args)
     sync(out)
     return (time.perf_counter() - t0) / iters
+
+
+def synthetic_events(rng, shape, res):
+    """Shared synthetic event factory: ``[..., N, 4]`` (ts, y, x, p) +
+    ``[..., N, 2]`` polarity mask (the layout every bench script needs)."""
+    import jax.numpy as jnp
+
+    ev = np.zeros(shape + (4,), np.float32)
+    ev[..., 0] = rng.uniform(0, 1, shape)
+    ev[..., 1] = rng.integers(0, res[0], shape)
+    ev[..., 2] = rng.integers(0, res[1], shape)
+    ev[..., 3] = rng.choice([-1.0, 1.0], shape)
+    pol = np.stack([(ev[..., 3] > 0), (ev[..., 3] < 0)], -1)
+    return jnp.asarray(ev), jnp.asarray(pol, jnp.float32)
+
+
+def synthetic_window(rng, passes, batch, n, res):
+    """Pass-stacked training window dict (net_input + events + masks)."""
+    import jax.numpy as jnp
+
+    ev, pol = synthetic_events(rng, (passes, batch, n), res)
+    return {
+        "net_input": jnp.asarray(
+            rng.normal(size=(passes, batch, res[0], res[1], 2)), np.float32
+        ),
+        "event_list": ev,
+        "pol_mask": pol,
+        "grad_mask": jnp.ones((passes, batch, n, 1), np.float32),
+    }

@@ -269,7 +269,10 @@ class BaseStreamLoader:
             # a fixed cap keeps the device program static, at the price of
             # dropping the overflow; pick loader.n_events_pad >= the
             # dataset's p99 window so this stays rare
-            self.truncated_events += max_n - self.fixed_n
+            self.truncated_events += sum(
+                max(0, s["event_list"].shape[0] - self.fixed_n)
+                for s in samples
+            )
             warnings.warn(
                 f"event window of {max_n} exceeds n_events_pad="
                 f"{self.fixed_n}; truncating "

@@ -34,6 +34,7 @@ class Prefetcher:
     def __init__(self, iterable: Iterable, depth: int = 3):
         self._queue: queue.Queue = queue.Queue(maxsize=depth)
         self._iterable = iterable
+        self._closed = False
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
@@ -41,10 +42,23 @@ class Prefetcher:
         try:
             for item in self._iterable:
                 self._queue.put(item)
+                if self._closed:
+                    return
         except BaseException as e:  # noqa: BLE001 — re-raised consumer-side
             self._queue.put(e)
-            return
+        # always terminate the stream so a consumer that keeps iterating
+        # after an error (or races close()) never blocks on a dead producer
         self._queue.put(self._END)
+
+    def close(self):
+        """Release the producer thread (it may be blocked on the bounded
+        queue holding loader/file state). Safe to call more than once."""
+        self._closed = True
+        while self._thread.is_alive():
+            try:
+                self._queue.get_nowait()
+            except queue.Empty:
+                self._thread.join(timeout=0.05)
 
     def __iter__(self) -> Iterator:
         while True:

@@ -21,8 +21,6 @@ import jax.numpy as jnp
 from ..ops import (
     event_propagation,
     get_event_flow,
-    get_interpolation,
-    interpolate,
     iwe_from_events,
 )
 
@@ -328,6 +326,11 @@ class IterativeValidation:
         """Per-pixel average flow over the window
         (reference ``loss/flow_val.py:145-169, 638-653``)."""
         if mode == "forward":
+            if not self.cfg.track_fw_prop:
+                raise ValueError(
+                    "window_flow('forward') needs ValConfig.track_fw_prop"
+                    "=True"
+                )
             maps = state.fw_prop_flow
         elif mode == "backward":
             maps = (state.accum_flow / (state.out_mask + 1e-9))[None]

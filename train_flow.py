@@ -150,14 +150,15 @@ def train(args, config_parser: YAMLParser):
         ("reset", mask)      — lanes changed sequence; zero their carry and
                                drop the partial loss window (the reference
                                resets globally, ``train_flow.py:83-87``)
-        ("epoch_end", e, n)  — epoch ``e`` finished after ingesting ``n``
-                               samples (batches x lanes, like the
-                               reference's ``data.samples`` at
-                               ``train_flow.py:121``)
+        ("epoch_end", e, n)  — epoch ``e`` finished after ``n`` stepped
+                               loss windows (the reference increments
+                               ``data.samples`` once per optimizer step,
+                               inside the ``num_passes >= passes_loss``
+                               guard — ``train_flow.py:119-121``)
         ("window", w, meta)  — a full pass-stacked window (host numpy)
         """
         window_batches = []
-        samples_in_epoch = 0
+        windows_in_epoch = 0
         while True:
             batch = data.next_batch()
 
@@ -166,8 +167,8 @@ def train(args, config_parser: YAMLParser):
                 yield ("reset", batch["new_seq"].copy())
 
             if data.seq_num >= len(data.files):  # epoch rollover
-                yield ("epoch_end", data.epoch, samples_in_epoch)
-                samples_in_epoch = 0
+                yield ("epoch_end", data.epoch, windows_in_epoch)
+                windows_in_epoch = 0
                 data.epoch += 1
                 data.samples = 0
                 data.seq_num = data.seq_num % len(data.files)
@@ -175,12 +176,12 @@ def train(args, config_parser: YAMLParser):
                     return
 
             window_batches.append(batch)
-            samples_in_epoch += batch_size
             if len(window_batches) < passes:
                 continue
 
             window = stack_window(window_batches)
             window_batches = []
+            windows_in_epoch += 1
             yield ("window", window, (data.epoch, data.seq_num))
 
     from taming_event_flow_tpu.data.prefetch import Prefetcher
@@ -197,52 +198,58 @@ def train(args, config_parser: YAMLParser):
             train_loss += float(pending.pop(0))
             windows_done += 1
 
-    for event in Prefetcher(window_stream(), depth=3):
-        if event[0] == "reset":
-            drain(1)
-            state = state._replace(
-                carry=reset_carry(state.carry, jnp.asarray(event[1]))
-            )
-        elif event[0] == "epoch_end":
-            _, epoch_num, n_samples = event
-            drain(0)
-            avg = train_loss / max(n_samples, 1)
-            tracking.log_metric("loss", avg, step=epoch_num)
-            tb.add_scalar("loss", avg, epoch_num)
-            if avg < best_loss:
-                save_checkpoint(
-                    runid, jax.device_get(state.params),
-                    jax.device_get(state.opt_state),
-                    step=int(state.step), epoch=epoch_num,
+    prefetcher = Prefetcher(window_stream(), depth=3)
+    try:
+        for event in prefetcher:
+            if event[0] == "reset":
+                drain(1)
+                state = state._replace(
+                    carry=reset_carry(state.carry, jnp.asarray(event[1]))
                 )
-                best_loss = avg
-            train_loss = 0.0
-            windows_done = 0
-        else:
-            _, window, (epoch_num, seq_num) = event
-            window = {k: jnp.asarray(v) for k, v in window.items()}
-            if mesh is not None:
-                window = shard_window(window, mesh)
+            elif event[0] == "epoch_end":
+                _, epoch_num, n_windows = event
+                drain(0)
+                # reference semantics: one batch_size increment per optimizer
+                # step (train_flow.py:119-121)
+                avg = train_loss / max(n_windows * batch_size, 1)
+                tracking.log_metric("loss", avg, step=epoch_num)
+                tb.add_scalar("loss", avg, epoch_num)
+                if avg < best_loss:
+                    save_checkpoint(
+                        runid, jax.device_get(state.params),
+                        jax.device_get(state.opt_state),
+                        step=int(state.step), epoch=epoch_num,
+                    )
+                    best_loss = avg
+                train_loss = 0.0
+                windows_done = 0
+            else:
+                _, window, (epoch_num, seq_num) = event
+                window = {k: jnp.asarray(v) for k, v in window.items()}
+                if mesh is not None:
+                    window = shard_window(window, mesh)
 
-            state, loss = step_fn(state, window)
-            pending.append(loss)
-            drain(1)
-            meter.tick()
+                state, loss = step_fn(state, window)
+                pending.append(loss)
+                drain(1)
+                meter.tick()
 
-            if config["vis"].get("verbose"):
-                ev_per_step = float(window["event_list"].shape[0]
-                                    * window["event_list"].shape[1]
-                                    * window["event_list"].shape[2])
-                print(
-                    f"Train Epoch: {epoch_num:04d} "
-                    f"[{seq_num:03d}/{len(data.files):03d}] "
-                    f"Loss: {train_loss / max(windows_done * passes * batch_size, 1):.6f} "
-                    f"({meter.steps_per_s:.2f} step/s, "
-                    f"{meter.mevents_per_s(ev_per_step):.1f} Mev/s)",
-                    end="\r",
-                )
+                if config["vis"].get("verbose"):
+                    ev_per_step = float(window["event_list"].shape[0]
+                                        * window["event_list"].shape[1]
+                                        * window["event_list"].shape[2])
+                    print(
+                        f"Train Epoch: {epoch_num:04d} "
+                        f"[{seq_num:03d}/{len(data.files):03d}] "
+                        f"Loss: {train_loss / max(windows_done * batch_size, 1):.6f} "
+                        f"({meter.steps_per_s:.2f} step/s, "
+                        f"{meter.mevents_per_s(ev_per_step):.1f} Mev/s)",
+                        end="\r",
+                    )
 
-    drain(0)
+        drain(0)
+    finally:
+        prefetcher.close()
     tb.close()
     tracking.end_run()
     return runid
