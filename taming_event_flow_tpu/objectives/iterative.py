@@ -234,7 +234,7 @@ def iterative_loss(flows, event_list, pol_mask, grad_mask, cfg: LossConfig,
             loss = loss + loss_update
         return loss
 
-    loss = jnp.sum(jax.vmap(scale_loss, in_axes=1)(flows))
+    loss = sum(scale_loss(flows[:, i]) for i in range(s_scales))
     loss = loss / cfg.scales_loss
     loss = loss / s_scales
 
