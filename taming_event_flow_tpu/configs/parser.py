@@ -53,7 +53,7 @@ DEFAULTS: Dict[str, Any] = {
         "clip_grad": None,
         # performance knobs (read at trace time, never from the environment)
         "matmul_precision": "default",  # default | high | highest (~f32)
-        "warp_remat": True,  # remat warp-scan steps (memory vs FLOPs)
+        "warp_remat": False,  # remat warp-scan steps (memory vs speed)
         "scan_unroll": 1,  # unroll factor for warp/model scans
         "warp_backend": "auto",  # auto | xla | pallas (ops/backend.py)
     },

@@ -35,7 +35,12 @@ class LossConfig(NamedTuple):
     flow_temp_smooth_weight: Optional[float] = None
     # compile-time performance knobs (YAML ``loss`` section; see
     # ``configs/parser.py`` DEFAULTS)
-    warp_remat: bool = True  # rematerialize warp-scan steps (memory vs FLOPs)
+    # rematerialize warp-scan steps: with the custom-VJP warp ops the saved
+    # residuals are small (loc/maps, not factor tensors), so saving them
+    # beats recompute at the reference config (276 vs 311 ms at B=8,
+    # bit-identical loss — scripts/bench_b8_opt.py). Set True to trade
+    # ~12% step time for memory at larger batches/windows.
+    warp_remat: bool = False
     scan_unroll: int = 1  # unroll factor for the warp/model scans
 
     @property

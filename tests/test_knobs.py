@@ -90,5 +90,5 @@ def test_config_defaults_expose_knobs():
 
     loss = DEFAULTS["loss"]
     assert loss["matmul_precision"] == "default"
-    assert loss["warp_remat"] is True
+    assert loss["warp_remat"] is False
     assert loss["scan_unroll"] == 1
