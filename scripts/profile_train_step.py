@@ -46,6 +46,9 @@ def main():
     out = step(state, window)
     sync(out)
 
+    import shutil
+
+    shutil.rmtree("/tmp/traintrace", ignore_errors=True)  # stale traces
     jax.profiler.start_trace("/tmp/traintrace")
     out = step(state, window)
     sync(out)
