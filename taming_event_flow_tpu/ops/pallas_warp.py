@@ -49,9 +49,11 @@ DTRI = 1  # its derivative, matching jax autodiff of maximum(0, 1 - |d|)
 _TILE_H = 128
 _TILE_W = 128
 # events per grid step: large chunks amortize per-cell grid overhead (the
-# dominant cost at 1024 — measured ~10 us/cell); 4096 keeps the fused
-# dual-stencil kernel's factors + contractions within VMEM
-_CHUNK = 4096
+# dominant cost at 1024 — measured ~10 us/cell). The plain splat/gather
+# kernels hold 3 factor-sized arrays (~7 MB at 8192 with bf16 factors);
+# the fused dual-stencil backward holds 6 (4096 tops under bf16)
+_CHUNK = 8192
+_CHUNK_FUSED = 4096
 
 
 def _stencil(d, mode: int):
@@ -146,7 +148,7 @@ def _splat_raw(loc, values, res, mode_y, mode_x):
     b, m, c = values.shape
     h, w = res
     hp, wp = _round_up(h, _TILE_H), _round_up(w, _TILE_W)
-    e = min(_CHUNK, _round_up(m, 128))
+    e = min(_CHUNK if _use_bf16() else _CHUNK // 2, _round_up(m, 128))
     mp = _round_up(m, e)
 
     y = loc[..., 0].astype(jnp.float32)
@@ -225,7 +227,7 @@ def _gather_raw(maps, loc, mode_y, mode_x):
     b, h, w, c = maps.shape
     m = loc.shape[1]
     hp, wp = _round_up(h, _TILE_H), _round_up(w, _TILE_W)
-    e = min(_CHUNK, _round_up(m, 128))
+    e = min(_CHUNK if _use_bf16() else _CHUNK // 2, _round_up(m, 128))
     mp = _round_up(m, e)
 
     y = loc[..., 0].astype(jnp.float32)
@@ -320,10 +322,10 @@ def _gather_fused_raw(maps, loc, values):
     b, h, w, c = maps.shape
     m = loc.shape[1]
     hp, wp = _round_up(h, _TILE_H), _round_up(w, _TILE_W)
-    # the fused kernel holds 4 factor arrays + 2 contraction buffers per
-    # cell — halve the chunk (and halve again for f32 factors) to stay
-    # inside the 16 MB scoped-VMEM limit
-    chunk = _CHUNK // (2 if _use_bf16() else 4)
+    # the fused kernel holds 4 factor arrays + 2 f32 contraction buffers
+    # per cell: ~10 MB at chunk 4096 with bf16 factors (fits the 16 MB
+    # scoped-VMEM limit), ~20 MB with f32 factors (doesn't — quarter it)
+    chunk = _CHUNK_FUSED if _use_bf16() else _CHUNK_FUSED // 4
     e = min(chunk, _round_up(m, 128))
     mp = _round_up(m, e)
 
