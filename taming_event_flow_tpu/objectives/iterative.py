@@ -92,6 +92,11 @@ def warp_table(flow_maps, event_loc, event_ts, pol_mask, res,
             return loc
         return jnp.where(grad_mask > 0, loc, jax.lax.stop_gradient(loc))
 
+    # masks are products of comparisons with the (leaf) polarity mask —
+    # their gradient w.r.t. anything trainable is structurally zero (torch's
+    # autograd treats them as constants for the same reason), so
+    # stop_gradient prunes their dead cotangent chains from the scan
+    # backward without changing any gradient value
     def fw_step(carry, inp):
         tau, fmap = inp
         cur_loc, cur_ts, cur_mask = carry
@@ -100,7 +105,9 @@ def warp_table(flow_maps, event_loc, event_ts, pol_mask, res,
         prop = cur_loc + (tau + 1.0 - cur_ts) * flow
         prop, purged_mask = _purge(prop, cur_mask, res)
         new_loc = jnp.where(active > 0, prop, cur_loc)
-        new_mask = jnp.where(active > 0, purged_mask, cur_mask)
+        new_mask = jax.lax.stop_gradient(
+            jnp.where(active > 0, purged_mask, cur_mask)
+        )
         new_ts = jnp.where(active > 0, tau + 1.0, cur_ts)
         return (new_loc, new_ts, new_mask), (gate(new_loc), new_mask)
 
@@ -112,7 +119,9 @@ def warp_table(flow_maps, event_loc, event_ts, pol_mask, res,
         prop = cur_loc + (tau - cur_ts) * flow
         prop, purged_mask = _purge(prop, cur_mask, res)
         new_loc = jnp.where(active > 0, prop, cur_loc)
-        new_mask = jnp.where(active > 0, purged_mask, cur_mask)
+        new_mask = jax.lax.stop_gradient(
+            jnp.where(active > 0, purged_mask, cur_mask)
+        )
         new_ts = jnp.where(active > 0, tau, cur_ts)
         return (new_loc, new_ts, new_mask), (gate(new_loc), new_mask)
 
