@@ -50,7 +50,7 @@ def _synthetic_events(rng, shape, res):
     return jnp.asarray(ev), jnp.asarray(pol, jnp.float32)
 
 
-def bench_eval_protocol(res, passes, n_events, iters=10, full_vis=True):
+def bench_eval_protocol(res, passes, n_events, iters=30, full_vis=True):
     """Model forward + Iterative validation update per pass at an eval
     protocol's shapes. Covers both DSEC (480x640, 10 passes) and MVSEC
     (260x346, 1 pass). Reports per-pass latency and GT-frames/s.
