@@ -44,6 +44,14 @@ DEFAULTS: Dict[str, Any] = {
         "seed": 42,
     },
     "model": {},
+    "parallel": {
+        # device-mesh shape for training: data-parallel lanes x event-axis
+        # shards (parallel/event.py). Null data = all remaining devices;
+        # event > 1 shards the per-window event lists and psum-merges
+        # partial IWEs over ICI.
+        "data": None,
+        "event": 1,
+    },
     "loss": {
         "flow_scaling": 32,
         "round_ts": False,

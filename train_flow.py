@@ -130,17 +130,46 @@ def train(args, config_parser: YAMLParser):
                 tb.add_scalar("loss", v, s)
     data.epoch = epoch
 
-    step_fn = make_train_step(
-        model, optimizer, loss_cfg,
-        warping=config["loss"].get("warping", "Iterative"),
-        flow_scaling=config["loss"].get("flow_scaling", 32),
-    )
-
+    # device mesh: config-driven 2-D (data x event) shape, else auto-DP
+    par_cfg = config.get("parallel", {}) or {}
+    n_dev = len(jax.devices())
+    n_event = int(par_cfg.get("event") or 1)
     mesh = None
-    if len(jax.devices()) > 1 and batch_size % len(jax.devices()) == 0:
+    event_mesh = None
+    if n_event > 1:
+        from taming_event_flow_tpu.parallel import (
+            make_event_mesh,
+            make_event_parallel_train_step,
+            shard_state_2d,
+            shard_window_2d,
+        )
+
+        n_data = int(par_cfg.get("data") or (n_dev // n_event))
+        if batch_size % n_data:
+            raise ValueError(
+                f"batch_size {batch_size} not divisible by data axis {n_data}"
+            )
+        event_mesh = make_event_mesh(n_data, n_event)
+        state = shard_state_2d(state, event_mesh)
+        print(f"(data={n_data}, event={n_event}) mesh over "
+              f"{n_data * n_event} devices")
+    elif n_dev > 1 and batch_size % n_dev == 0:
         mesh = make_mesh()
         state = shard_state(state, mesh)
-        print(f"Data-parallel mesh over {len(jax.devices())} devices")
+        print(f"Data-parallel mesh over {n_dev} devices")
+
+    if event_mesh is not None:
+        step_fn = make_event_parallel_train_step(
+            model, optimizer, loss_cfg, event_mesh,
+            warping=config["loss"].get("warping", "Iterative"),
+            flow_scaling=config["loss"].get("flow_scaling", 32),
+        )
+    else:
+        step_fn = make_train_step(
+            model, optimizer, loss_cfg,
+            warping=config["loss"].get("warping", "Iterative"),
+            flow_scaling=config["loss"].get("flow_scaling", 32),
+        )
 
     n_epochs = config["loader"]["n_epochs"]
 
@@ -226,7 +255,9 @@ def train(args, config_parser: YAMLParser):
             else:
                 _, window, (epoch_num, seq_num) = event
                 window = {k: jnp.asarray(v) for k, v in window.items()}
-                if mesh is not None:
+                if event_mesh is not None:
+                    window = shard_window_2d(window, event_mesh)
+                elif mesh is not None:
                     window = shard_window(window, mesh)
 
                 state, loss = step_fn(state, window)
