@@ -149,6 +149,21 @@ def train(args, config_parser: YAMLParser):
             raise ValueError(
                 f"batch_size {batch_size} not divisible by data axis {n_data}"
             )
+        # event buckets are powers of two (data/base.py); a non-power-of-two
+        # event axis would fail inside shard_map mid-training instead
+        n_pad = config["loader"].get("n_events_pad")
+        if n_pad:
+            if n_pad % n_event:
+                raise ValueError(
+                    f"n_events_pad {n_pad} not divisible by event axis "
+                    f"{n_event}"
+                )
+        elif n_event & (n_event - 1):
+            raise ValueError(
+                f"event axis {n_event} must be a power of two when "
+                "loader.n_events_pad is unset (windows pad to power-of-two "
+                "buckets)"
+            )
         event_mesh = make_event_mesh(n_data, n_event)
         state = shard_state_2d(state, event_mesh)
         print(f"(data={n_data}, event={n_event}) mesh over "
