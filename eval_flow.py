@@ -138,6 +138,9 @@ def test(args, config_parser: YAMLParser):
         )
 
         eval_mesh = make_eval_mesh()
+        # opaque Pallas kernels block GSPMD sharding propagation — keep the
+        # sharded path on the partitionable XLA formulations
+        set_warp_backend("xla")
         print(f"Event-sharded eval over {n_dev} devices")
 
     def fresh_state():

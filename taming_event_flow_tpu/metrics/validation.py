@@ -199,11 +199,16 @@ class IterativeValidation:
         p_ax = jnp.arange(cfg.passes).reshape(-1, 1, 1, 1)
 
         # --- incremental forward warping of every stored window to p+1
-        # (reference flow_val.py:489-517)
+        # (reference flow_val.py:489-517), fused with the accumulated-grid
+        # lookup below: both sample THIS pass's flow map, so one combined
+        # gather covers [P*N events | H*W grid points]
         active = (p_ax <= p_cur).astype(jnp.float32)
         pp, bb, nn, _ = state.fw_loc.shape
+        h, w = res
         fw_flat = jnp.transpose(state.fw_loc, (1, 0, 2, 3)).reshape(bb, pp * nn, 2)
-        fw_flow = get_event_flow(flow, fw_flat)
+        grid_pts = state.warp_indices.reshape(bb, h * w, 2)
+        both = get_event_flow(flow, jnp.concatenate([fw_flat, grid_pts], 1))
+        fw_flow, grid_flow = both[:, : pp * nn], both[:, pp * nn :]
         fw_flow = jnp.transpose(fw_flow.reshape(bb, pp, nn, 2), (1, 0, 2, 3))
         prop = state.fw_loc + (pf + 1.0 - state.fw_ts) * fw_flow
         prop, purged = _purge(prop, state.fw_mask, res)
@@ -230,9 +235,9 @@ class IterativeValidation:
             state = state._replace(fw_prop_flow=fw_prop)
 
         # --- accumulated backward flow via iterated grid warping
-        # (reference flow_val.py:578-604)
+        # (reference flow_val.py:578-604); grid_flow came from the fused
+        # gather above
         b = flow.shape[0]
-        h, w = res
         indices = state.warp_indices  # [B, H, W, 2] (y, x)
         mask_valid = (
             (indices[..., 0:1] >= 0)
@@ -242,8 +247,7 @@ class IterativeValidation:
         ).astype(jnp.float32)
         out_mask = state.out_mask + mask_valid
 
-        curr = get_event_flow(flow, indices.reshape(b, -1, 2))  # [B,HW,2] (y,x)
-        curr = curr.reshape(b, h, w, 2)
+        curr = grid_flow.reshape(b, h, w, 2)  # (y, x) per px
         warped_idx = indices + curr * mask_valid
         grid_map = _grid(res).reshape(1, h, w, 2)
         accum = jnp.stack(

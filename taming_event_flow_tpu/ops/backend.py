@@ -38,16 +38,21 @@ def get_warp_backend() -> str:
 
 
 def use_pallas(hw: int, for_gather: bool = False,
-               n_channels: int = 1) -> bool:
+               n_channels: int = 1, n_points: int = 0) -> bool:
     """Resolve the backend for a map of ``hw`` pixels (trace-time)."""
     if _backend == "pallas":
         return True
     if _backend == "xla":
         return False
-    if for_gather:
-        return False  # XLA taps win for gathers at every size (see above)
     if jax.devices()[0].platform != "tpu":
         return False
+    if for_gather:
+        # large-map gathers: the dense VMEM-factor kernel beats the 4-tap
+        # row-gather 2x at small point counts (M=32k: 1.87 vs 3.45 ms at
+        # 480x640 — the eval bw-scan shape) and matches it at large M
+        # (85-89 Mval/s both at 307-327k); keep taps for big M so the
+        # GSPMD-shardable formulation stays on the multi-chip eval path
+        return hw > SMALL_MAP_PX and 0 < n_points <= 65536
     # small-map splats: the separable einsum materializes a per-channel
     # [B, M, size] factor product; at C >= 4 (the fused IWE shape) the
     # VMEM-factor Pallas kernel wins (B=8 M=61440: fwd 2.24 vs 3.58 ms,

@@ -103,7 +103,7 @@ def gather_values(maps, loc):
     from .backend import use_pallas, use_separable
 
     h, w, c = maps.shape[1], maps.shape[2], maps.shape[3]
-    if use_pallas(h * w, for_gather=True):
+    if use_pallas(h * w, for_gather=True, n_points=loc.shape[1]):
         from .pallas_warp import gather_grad
 
         return gather_grad(maps, loc)
