@@ -55,7 +55,7 @@ def eval_update_nofwprop():
     flow = jnp.asarray(rng.normal(size=(1, res[0], res[1], 2)) * 8.0,
                        jnp.float32)
 
-    for backend in ["pallas", "xla"]:
+    for backend in ["auto", "pallas", "xla"]:
         set_warp_backend(backend)
         val = IterativeValidation(
             ValConfig(res=res, passes=passes, track_fw_prop=False), 1, n)

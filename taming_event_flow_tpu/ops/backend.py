@@ -7,10 +7,12 @@ bench_route_probe.py):
     win for both directions.
   * large-map SPLATS (DSEC 480x640): the fused Pallas kernel is ~3.4x the
     XLA 4-tap scatter (60 vs 18 Mval/s at 307k points).
-  * large-map GATHERS: the XLA 4-tap row-gather path (``gather_pixels``)
-    matches or beats the dense Pallas kernel (85 Mval/s at 307k points; the
-    DSEC eval update is 23 ms/pass on taps vs 87 ms on dense Pallas), because
-    the dense formulation pays M x H x W MACs while taps pay O(M) loads.
+  * large-map GATHERS split by point count: the dense VMEM-factor Pallas
+    kernel (MXU-native layout, 8k-event chunks) is ~2x the 4-tap row-gather
+    at small M (32k pts at 480x640: 1.87 vs 3.45 ms — the eval bw-scan
+    shape) and matches it at large M (85-89 Mval/s both at 307-327k). Taps
+    stay the big-M default because they are GSPMD-partitionable (the
+    event-sharded eval path relies on that; it forces the xla backend).
 
 ``auto`` (default) applies exactly that table. ``pallas`` forces the fused
 kernels everywhere (interpreted off-TPU — used by equivalence tests);
