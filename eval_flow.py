@@ -145,7 +145,9 @@ def test(args, config_parser: YAMLParser):
 
     def fresh_state():
         s = criteria.init()
-        return shard_val_state(s, eval_mesh) if eval_mesh else s
+        if eval_mesh:
+            return shard_val_state(s, eval_mesh, round_ts=val_cfg.round_ts)
+        return s
 
     vstate = fresh_state()
     # donate the slot state: XLA updates the big per-pass buffers in place

@@ -42,6 +42,10 @@ class LossConfig(NamedTuple):
     # ~12% step time for memory at larger batches/windows.
     warp_remat: bool = False
     scan_unroll: int = 1  # unroll factor for the warp/model scans
+    # run each (scale, window)'s deblurring sweep as ONE tref-batched IWE
+    # splat instead of one splat per tref (same math — see
+    # ``iterative._sweep_batched``); False restores the looped formulation
+    batched_sweep: bool = True
 
     @property
     def passes_list(self) -> Sequence[int]:

@@ -152,6 +152,60 @@ def warp_table(flow_maps, event_loc, event_ts, pol_mask, res,
     return jnp.stack(table_loc), jnp.stack(table_mask)
 
 
+def _sweep_batched(tbl_loc, tbl_mask, ts, shared_mask, low_pass, high_pass,
+                   low_tref, high_tref, delta, cfg, event_axis):
+    """Deblurring-window sweep of one (scale, window) as ONE batched splat.
+
+    The looped formulation runs one IWE splat per tref (11 per scale at the
+    reference config — 44 per step); here all T trefs ride a single splat
+    with the tref axis folded into the splat's batch-grid dimension. Windows
+    outside a tref's deblurring extent ``[tref - delta, tref + delta)``
+    (reference ``loss/flow.py:689-697``) are masked to zero polarity, which
+    drops them from the IWE, the ts-IWE and the nonzero-pixel count exactly
+    like the looped slicing does. Same math, T× fewer kernel launches and
+    one transpose instead of T.
+    """
+    t_count = high_tref - low_tref
+    kf = high_pass - low_pass
+    b, n = tbl_loc.shape[2], tbl_loc.shape[3]
+
+    wl = tbl_loc[low_tref:high_tref, low_pass:high_pass]  # [T, Kf, B, N, 2]
+    if shared_mask is not None:
+        wm = jnp.broadcast_to(
+            shared_mask[low_pass:high_pass][None], wl.shape
+        )
+    else:
+        wm = tbl_mask[low_tref:high_tref, low_pass:high_pass]
+
+    trefs = jnp.arange(low_tref, high_tref, dtype=ts.dtype)
+    wabs = jnp.arange(low_pass, high_pass, dtype=ts.dtype)
+    # extent: window w feeds tref iff max(low, tref-delta) <= w <
+    # min(high, tref+delta); the [low, high) part is the slice itself
+    ext = (
+        (wabs[None, :] >= trefs[:, None] - delta)
+        & (wabs[None, :] < trefs[:, None] + delta)
+    ).astype(wl.dtype)  # [T, Kf]
+    wm = wm * ext[:, :, None, None, None]
+
+    wts = jnp.broadcast_to(
+        ts[low_pass:high_pass][None], (t_count, kf, b, n, 1)
+    )
+    norm_ts = 1.0 - jnp.abs(trefs[:, None, None, None, None] - wts) / delta
+
+    def flat(x):
+        return jnp.transpose(x, (0, 2, 1, 3, 4)).reshape(
+            t_count * b, kf * n, x.shape[-1]
+        )
+
+    iwe, iwe_ts = iwe_with_ts(
+        flat(wl), flat(wm), flat(norm_ts), cfg.res, event_axis=event_axis,
+    )
+    iwe_ts_norm = iwe_ts / (iwe + 1e-9)
+    # focus_loss sums over its batch axis, so one call over [T*B, ...]
+    # equals the looped sum of per-tref calls
+    return focus_loss(iwe, iwe_ts_norm, cfg.loss_scaling)
+
+
 def iterative_loss(flows, event_list, pol_mask, grad_mask, cfg: LossConfig,
                    event_axis=None):
     """Full Iterative contrast-max training loss
@@ -180,9 +234,10 @@ def iterative_loss(flows, event_list, pol_mask, grad_mask, cfg: LossConfig,
     loc = event_list[..., 1:3]
 
     # One scale's full contribution: warp table (two scans) + deblurring-
-    # window IWE sweep. vmapped over the S flow scales below so the four
-    # per-scale scan chains fuse into ONE pair of scans with a 4x-batched
-    # gather — same math, 4x fewer sequential while-loop iterations on TPU.
+    # window IWE sweep. Deliberately a plain python loop over the S scales
+    # (NOT vmapped): vmap-of-pallas_call lowers poorly (8-minute compiles,
+    # 391 vs 311 ms steps, commit 4988588), and the 4x-smaller per-scale
+    # live set is what lets warp_remat stay off (276 ms, README roofline).
     def scale_loss(flow_maps):
         tbl_loc, tbl_mask = warp_table(
             flow_maps, loc, ts, pol_mask, cfg.res, grad_mask=grad_mask,
@@ -208,6 +263,15 @@ def iterative_loss(flows, event_list, pol_mask, grad_mask, cfg: LossConfig,
                     shared_mask = jnp.prod(
                         tbl_mask[low_tref:high_tref], axis=0
                     )  # [P, B, N, 2]
+
+                if cfg.batched_sweep:
+                    loss_update = loss_update + _sweep_batched(
+                        tbl_loc, tbl_mask, ts,
+                        shared_mask if cfg.border_compensation else None,
+                        low_pass, high_pass, low_tref, high_tref, delta,
+                        cfg, event_axis,
+                    )
+                    continue
 
                 for tref in range(low_tref, high_tref):
                     low_ext = max(low_pass, tref - delta)

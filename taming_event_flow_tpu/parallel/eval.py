@@ -46,8 +46,18 @@ def make_eval_mesh(n_devices: Optional[int] = None,
     return Mesh(np.asarray(devices), (EVAL_EVENT_AXIS,))
 
 
-def shard_val_state(state, mesh: Mesh):
-    """Place a ``ValState``: event-dim buffers shard on N, rest replicated."""
+def shard_val_state(state, mesh: Mesh, round_ts: bool = False):
+    """Place a ``ValState``: event-dim buffers shard on N, rest replicated.
+
+    :param round_ts: pass the protocol's ``round_ts`` flag — sharding is
+        refused when it is on (the global ts ``min`` would silently become a
+        per-shard min; see module docstring).
+    """
+    if round_ts:
+        raise ValueError(
+            "round_ts is incompatible with event-axis sharding: its global "
+            "min over events would become a per-shard min. Run unsharded."
+        )
     ev = NamedSharding(mesh, P(None, None, EVAL_EVENT_AXIS))
     rep = NamedSharding(mesh, P())
     placed = {}

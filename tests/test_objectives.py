@@ -303,3 +303,39 @@ def test_iterative_loss_parity_batch2(rng):
         np.asarray(ours_grad), np.moveaxis(tflows.grad.numpy(), 3, -1),
         rtol=2e-3, atol=2e-5,
     )
+
+
+@pytest.mark.parametrize(
+    "passes,scales,mode,border",
+    [
+        (4, 1, "two", True),
+        (4, 2, "two", True),
+        (4, 1, "one", False),
+        (2, 1, "four", True),
+    ],
+)
+def test_batched_sweep_matches_looped(rng, passes, scales, mode, border):
+    """The tref-batched IWE sweep is the looped sweep, exactly (values and
+    flow gradients) — the masking/extent algebra is equivalent."""
+    eff_passes = passes * 2 if mode == "four" else passes
+    flows, events, pol, grad_mask = make_inputs(rng, eff_passes)
+
+    def run(batched):
+        cfg = LossConfig(
+            res=RES, passes_loss=eff_passes, scales_loss=scales,
+            iterative_mode=mode, border_compensation=border,
+            batched_sweep=batched,
+        )
+        return jax.value_and_grad(
+            lambda f: iterative_loss(
+                f, jnp.asarray(events), jnp.asarray(pol),
+                jnp.asarray(grad_mask), cfg,
+            )
+        )(jnp.asarray(flows))
+
+    loss_b, grad_b = run(True)
+    loss_l, grad_l = run(False)
+    np.testing.assert_allclose(float(loss_b), float(loss_l), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(grad_b), np.asarray(grad_l), rtol=1e-5, atol=1e-7
+    )

@@ -97,6 +97,7 @@ def train(args, config_parser: YAMLParser):
         flow_temp_smooth_weight=config["loss"].get("flow_temp_smooth_weight"),
         warp_remat=bool(config["loss"].get("warp_remat", True)),
         scan_unroll=int(config["loss"].get("scan_unroll", 1)),
+        batched_sweep=bool(config["loss"].get("batched_sweep", True)),
     )
     optimizer = build_optimizer(
         config["optimizer"], clip_grad=config["loss"].get("clip_grad")
