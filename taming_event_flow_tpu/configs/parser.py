@@ -64,7 +64,7 @@ DEFAULTS: Dict[str, Any] = {
         "warp_remat": False,  # remat warp-scan steps (memory vs speed)
         "scan_unroll": 1,  # unroll factor for warp/model scans
         "warp_backend": "auto",  # auto | xla | pallas (ops/backend.py)
-        "batched_sweep": True,  # tref-batched IWE sweep (objectives/iterative.py)
+        "batched_sweep": False,  # tref-batched IWE sweep (objectives/iterative.py)
     },
     "metrics": {},
     "optimizer": {"name": "Adam", "lr": 1e-5},

@@ -108,8 +108,15 @@ class _Lane:
 
 class H5Loader(BaseStreamLoader):
     def __init__(self, config: Dict, shuffle: bool = False,
-                 path_cache: str = ""):
+                 path_cache: str = "", lane_offset: int = 0):
+        """``lane_offset`` maps this loader's lanes onto GLOBAL lane ids
+        ``[offset, offset + batch_size)`` — the multi-host partitioning hook
+        (``parallel/multihost.local_lane_range``): each process streams only
+        its own slice of the global batch, with the same (seeded) file
+        permutation on every host so lane -> file assignment is consistent.
+        """
         super().__init__(config)
+        self.lane_offset = lane_offset
         self.mode = config["data"]["mode"]
         self.window = config["data"]["window"]
         if self.mode == "gtflow" and self.window > 1:
@@ -134,7 +141,7 @@ class H5Loader(BaseStreamLoader):
 
         self.lanes = [_Lane() for _ in range(self.batch_size)]
         for i, lane in enumerate(self.lanes):
-            lane.file_idx = i
+            lane.file_idx = lane_offset + i
             self._open(lane)
 
     # ----------------------------------------------------------- file mgmt

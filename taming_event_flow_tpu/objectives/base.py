@@ -44,8 +44,12 @@ class LossConfig(NamedTuple):
     scan_unroll: int = 1  # unroll factor for the warp/model scans
     # run each (scale, window)'s deblurring sweep as ONE tref-batched IWE
     # splat instead of one splat per tref (same math — see
-    # ``iterative._sweep_batched``); False restores the looped formulation
-    batched_sweep: bool = True
+    # ``iterative._sweep_batched``). Measured at the reference train config
+    # (B=8, TPU v5e): ~10% slower steady-state (the batched splat pays the
+    # full window for edge trefs: +29% dense work) but compiles 7x faster
+    # (30 s vs 218 s) — handy for development; loss/grad equivalence is
+    # pinned by tests either way. Default: the faster steady state.
+    batched_sweep: bool = False
 
     @property
     def passes_list(self) -> Sequence[int]:

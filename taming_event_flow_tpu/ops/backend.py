@@ -7,12 +7,14 @@ bench_route_probe.py):
     win for both directions.
   * large-map SPLATS (DSEC 480x640): the fused Pallas kernel is ~3.4x the
     XLA 4-tap scatter (60 vs 18 Mval/s at 307k points).
-  * large-map GATHERS split by point count: the dense VMEM-factor Pallas
-    kernel (MXU-native layout, 8k-event chunks) is ~2x the 4-tap row-gather
-    at small M (32k pts at 480x640: 1.87 vs 3.45 ms — the eval bw-scan
-    shape) and matches it at large M (85-89 Mval/s both at 307-327k). Taps
-    stay the big-M default because they are GSPMD-partitionable (the
-    event-sharded eval path relies on that; it forces the xla backend).
+  * large-map GATHERS: the packed-patch row gather (``warp.py`` —
+    one take_along_axis over a per-pixel [H*W, 4C] patch table) wins
+    outright: TPU gathers are row-rate bound (~180-320 M rows/s regardless
+    of row width), so one patch row beats 4 x C tap gathers 3.8x at the
+    DSEC update shape (635k pts: 15.1 -> 4.0 ms) and also beats the dense
+    VMEM-factor Pallas kernel's small-M regime (32k pts: 1.87 ms dense vs
+    ~0.6 ms patch). It is plain XLA (GSPMD-partitionable), so the
+    event-sharded eval path keeps it too.
 
 ``auto`` (default) applies exactly that table. ``pallas`` forces the fused
 kernels everywhere (interpreted off-TPU — used by equivalence tests);
@@ -49,12 +51,10 @@ def use_pallas(hw: int, for_gather: bool = False,
     if jax.devices()[0].platform != "tpu":
         return False
     if for_gather:
-        # large-map gathers: the dense VMEM-factor kernel beats the 4-tap
-        # row-gather 2x at small point counts (M=32k: 1.87 vs 3.45 ms at
-        # 480x640 — the eval bw-scan shape) and matches it at large M
-        # (85-89 Mval/s both at 307-327k); keep taps for big M so the
-        # GSPMD-shardable formulation stays on the multi-chip eval path
-        return hw > SMALL_MAP_PX and 0 < n_points <= 65536
+        # large-map gathers always use the packed-patch row gather
+        # (warp.py) — measured faster than both the dense VMEM-factor
+        # kernel and the 4-tap path at every probed point count
+        return False
     # small-map splats: the separable einsum materializes a per-channel
     # [B, M, size] factor product; at C >= 4 (the fused IWE shape) the
     # VMEM-factor Pallas kernel wins (B=8 M=61440: fwd 2.24 vs 3.58 ms,

@@ -51,7 +51,10 @@ _TILE_W = 128
 # events per grid step: large chunks amortize per-cell grid overhead (the
 # dominant cost at 1024 — measured ~10 us/cell). The plain splat/gather
 # kernels hold 3 factor-sized arrays (~7 MB at 8192 with bf16 factors);
-# the fused dual-stencil backward holds 6 (4096 tops under bf16)
+# the fused dual-stencil backward holds 6 (4096 tops under bf16). 16384
+# microbenches ~15% faster on the isolated vjp but sits 132 KB from the
+# 16 MB scoped-VMEM cliff (C=4 splat at B=88 OOMs, measured) and is a wash
+# at full-step level — keep 8192.
 _CHUNK = 8192
 _CHUNK_FUSED = 4096
 

@@ -93,17 +93,19 @@ def gather_values(maps, loc):
     at pixel coordinates with out-of-frame taps contributing zero
     (reference ``utils/iwe.py:17-40``).
 
-    Backends: fused Pallas kernel (TPU / forced), separable MXU einsum
-    (maps <= one 128x128 row-tile), 4-tap row-gather fallback otherwise.
+    Backends: separable MXU einsum for maps up to one 128x128 row-tile (the
+    training scale), the packed-patch row gather for larger maps (measured
+    3.8x the classic 4-tap path at DSEC scale — see
+    :func:`_bilinear_sample_patch`), fused Pallas kernel when forced.
 
     :param maps: ``[B, H, W, C]`` image channels.
     :param loc: ``[B, M, 2]`` ``(y, x)`` sample locations.
     :return: ``[B, M, C]`` sampled values (map channel order).
     """
-    from .backend import use_pallas, use_separable
+    from .backend import get_warp_backend, use_separable
 
-    h, w, c = maps.shape[1], maps.shape[2], maps.shape[3]
-    if use_pallas(h * w, for_gather=True, n_points=loc.shape[1]):
+    h, w = maps.shape[1], maps.shape[2]
+    if get_warp_backend() == "pallas":
         from .pallas_warp import gather_grad
 
         return gather_grad(maps, loc)
@@ -111,10 +113,7 @@ def gather_values(maps, loc):
         from .mxu_lookup import bilinear_gather_separable_multi
 
         return bilinear_gather_separable_multi(maps, loc)
-    return jnp.stack(
-        [_bilinear_sample_taps(maps[..., i], loc) for i in range(c)],
-        axis=-1,
-    )
+    return _bilinear_sample_patch(maps, loc)
 
 
 def bilinear_sample(img, loc):
@@ -126,6 +125,114 @@ def bilinear_sample(img, loc):
     :return: ``[B, N]`` sampled values.
     """
     return gather_values(img[..., None], loc)[..., 0]
+
+
+def _tri(d):
+    return jnp.maximum(0.0, 1.0 - jnp.abs(d))
+
+
+def _dtri(d):
+    """d/dd of ``_tri`` matching jax autodiff conventions (see
+    ``pallas_warp._stencil``): -1 at 0, -+0.5 at the |d| = 1 ties."""
+    a = jnp.abs(d)
+    sign = jnp.where(d >= 0.0, 1.0, -1.0)
+    mag = jnp.where(a < 1.0, 1.0, jnp.where(a == 1.0, 0.5, 0.0))
+    return -sign * mag
+
+
+def _patch_weights(loc, h, w, mode_y=0, mode_x=0):
+    """Patch base index + per-tap weights for the packed-patch gather.
+
+    The base is the CLAMPED floor; weights are (d)triangles referenced to
+    the actual rows/cols the patch reads, so clamping is exact: a point with
+    ``y in [-1, 0)`` reads rows (0, 1) and row 0 carries the full in-frame
+    tap weight; the second row/col is masked when it leaves the frame (it
+    wrapped around via the roll that built the patch table).
+    """
+    y = loc[..., 0]
+    x = loc[..., 1]
+    yi = jnp.clip(jnp.floor(y), 0, h - 1)
+    xi = jnp.clip(jnp.floor(x), 0, w - 1)
+    fy = _dtri if mode_y else _tri
+    fx = _dtri if mode_x else _tri
+    wy0 = fy(y - yi)
+    wy1 = fy(y - (yi + 1)) * (yi + 1 <= h - 1)
+    wx0 = fx(x - xi)
+    wx1 = fx(x - (xi + 1)) * (xi + 1 <= w - 1)
+    base = (yi * w + xi).astype(jnp.int32)
+    ws = jnp.stack([wy0 * wx0, wy0 * wx1, wy1 * wx0, wy1 * wx1], -1)
+    return base, ws  # [B, M], [B, M, 4]
+
+
+def _patch_table(maps):
+    """[B, H, W, C] -> [B, H*W, 4C] per-pixel 2x2 patch table (tap order
+    tl, tr, bl, br). Built with 2-D pad+slice shifts — NOT flat rolls: a
+    flat roll of an [B, H*W, C] array is lane-misaligned whenever H*W is
+    not a multiple of 128 (260x346 = 89960 forced a slow relayout,
+    measured), while padded slices stay contiguous; out-of-frame taps read
+    the zero padding (and their weights are zero anyway)."""
+    b, h, w, c = maps.shape
+    right = jnp.pad(maps[:, :, 1:], ((0, 0), (0, 0), (0, 1), (0, 0)))
+    down = jnp.pad(maps[:, 1:], ((0, 0), (0, 1), (0, 0), (0, 0)))
+    downright = jnp.pad(
+        maps[:, 1:, 1:], ((0, 0), (0, 1), (0, 1), (0, 0))
+    )
+    return jnp.concatenate(
+        [maps, right, down, downright], axis=-1
+    ).reshape(b, h * w, 4 * c)
+
+
+def _gather_patch_fwd(maps, loc):
+    b, h, w, c = maps.shape
+    patch = _patch_table(maps)
+    base, ws = _patch_weights(loc, h, w)
+    got = jnp.take_along_axis(patch, base[:, :, None], axis=1)  # [B, M, 4C]
+    g = got.reshape(b, loc.shape[1], 4, c)
+    return jnp.einsum("bmtc,bmt->bmc", g, ws), got
+
+
+@functools.lru_cache(maxsize=None)
+def _gather_patch_vjp():
+    @jax.custom_vjp
+    def f(maps, loc):
+        return _gather_patch_fwd(maps, loc)[0]
+
+    def fwd(maps, loc):
+        out, got = _gather_patch_fwd(maps, loc)
+        return out, (maps.shape, loc, got)
+
+    def bwd(resid, cot):
+        # d_maps: the transpose of a bilinear gather is the bilinear splat
+        # of the cotangent; d_loc: dual-stencil contraction of the SAME
+        # gathered patch — no second gather pass needed.
+        shape, loc, got = resid
+        b, h, w, c = shape
+        g = got.reshape(b, loc.shape[1], 4, c)
+        _, dwy = _patch_weights(loc, h, w, mode_y=1, mode_x=0)
+        _, dwx = _patch_weights(loc, h, w, mode_y=0, mode_x=1)
+        gp = jnp.einsum("bmtc,bmc->bmt", g, cot)  # [B, M, 4]
+        d_y = jnp.sum(gp * dwy, axis=-1)
+        d_x = jnp.sum(gp * dwx, axis=-1)
+        d_maps = splat_values(loc, cot, (h, w))
+        return d_maps, jnp.stack([d_y, d_x], axis=-1)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def _bilinear_sample_patch(maps, loc):
+    """Packed-patch bilinear gather (large maps).
+
+    One ``take_along_axis`` over a per-pixel ``[H*W, 4C]`` patch table
+    fetches all 4 taps x C channels of every point at once. TPU's gather is
+    ROW-RATE bound, not bandwidth bound (measured ~180-320 M rows/s at
+    480x640 regardless of 8- vs 128-lane rows), so folding the 4 x C
+    separate tap gathers of the classic formulation into one row fetch is a
+    measured 3.8x (15.1 -> 4.0 ms at the DSEC eval shape, 635k pts x 2ch).
+    Exact vs the 4-tap path to 2e-7; differentiable via a custom VJP whose
+    location gradient reuses the gathered patch (zero extra gathers).
+    """
+    return _gather_patch_vjp()(maps, loc)
 
 
 def _bilinear_sample_taps(img, loc):

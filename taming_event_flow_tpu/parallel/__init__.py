@@ -12,6 +12,14 @@ from .event import (
     shard_state_2d,
     shard_window_2d,
 )
+from .multihost import (
+    exchange_flags,
+    globalize_state,
+    globalize_window,
+    init_distributed,
+    local_lane_range,
+    make_multihost_event_mesh,
+)
 
 __all__ = [
     "EVAL_EVENT_AXIS",
@@ -28,4 +36,10 @@ __all__ = [
     "shard_state",
     "replicate",
     "batch_sharding",
+    "exchange_flags",
+    "globalize_state",
+    "globalize_window",
+    "init_distributed",
+    "local_lane_range",
+    "make_multihost_event_mesh",
 ]

@@ -54,12 +54,25 @@ def effective_passes(config) -> int:
 def train(args, config_parser: YAMLParser):
     config = config_parser.config
 
+    # multi-host runtime (SURVEY §5 distributed-backend plan): must precede
+    # any jax backend touch; no-op without a ``parallel`` coordinator config
+    from taming_event_flow_tpu.parallel import init_distributed
+
+    par_cfg = config.get("parallel", {}) or {}
+    multihost = init_distributed(par_cfg)
+    is_main = (not multihost) or jax.process_index() == 0
+
     tracking.set_tracking_uri(args.path_mlflow)
     tracking.set_experiment(config["experiment"])
-    run = tracking.start_run()
-    runid = run.info.run_id
-    tracking.log_params({k: str(v) for k, v in config.items()})
-    tracking.log_params({"prev_runid": args.prev_runid})
+    if is_main:
+        run = tracking.start_run()
+        runid = run.info.run_id
+        tracking.log_params({k: str(v) for k, v in config.items()})
+        tracking.log_params({"prev_runid": args.prev_runid})
+    else:
+        # non-main hosts stream data and compute; all tracking/checkpoint
+        # writes stay on process 0 (its store is the canonical run)
+        runid = f"proc{jax.process_index()}"
     config = config_parser.combine_entries(config)
     print("Run id:", runid)
 
@@ -68,16 +81,36 @@ def train(args, config_parser: YAMLParser):
     from taming_event_flow_tpu.utils import StepMeter, save_diff
     from taming_event_flow_tpu.tracking.tensorboard import TensorBoardMirror
 
-    save_diff("train_diff.txt")
     meter = StepMeter()
-    tb = TensorBoardMirror(runid)
+    tb = None
+    if is_main:
+        save_diff("train_diff.txt")
+        tb = TensorBoardMirror(runid)
 
     res = tuple(config["loader"]["resolution"])
     batch_size = config["loader"]["batch_size"]
     passes = effective_passes(config)
     num_bins = 2 if config["data"]["voxel"] is None else config["data"]["voxel"]
 
-    data = H5Loader(config, shuffle=True, path_cache=args.path_cache)
+    # multi-host: every process streams only its own slice of the global
+    # batch lanes; the seeded file permutation keeps lane -> file assignment
+    # consistent across hosts
+    local_batch = batch_size
+    lane_lo = 0
+    if multihost:
+        from taming_event_flow_tpu.parallel import local_lane_range
+
+        if config["loader"].get("seed") is None:
+            raise ValueError(
+                "multi-host training needs loader.seed so every host sees "
+                "the same file permutation"
+            )
+        lane_lo, lane_hi = local_lane_range(batch_size)
+        local_batch = lane_hi - lane_lo
+        config["loader"] = dict(config["loader"], batch_size=local_batch)
+
+    data = H5Loader(config, shuffle=True, path_cache=args.path_cache,
+                    lane_offset=lane_lo)
 
     from taming_event_flow_tpu.ops.precision import set_matmul_precision
 
@@ -97,13 +130,13 @@ def train(args, config_parser: YAMLParser):
         flow_temp_smooth_weight=config["loss"].get("flow_temp_smooth_weight"),
         warp_remat=bool(config["loss"].get("warp_remat", True)),
         scan_unroll=int(config["loss"].get("scan_unroll", 1)),
-        batched_sweep=bool(config["loss"].get("batched_sweep", True)),
+        batched_sweep=bool(config["loss"].get("batched_sweep", False)),
     )
     optimizer = build_optimizer(
         config["optimizer"], clip_grad=config["loss"].get("clip_grad")
     )
     state = init_train_state(
-        model, optimizer, batch_size, res[0], res[1], num_bins,
+        model, optimizer, local_batch, res[0], res[1], num_bins,
         rng_key=jax.random.PRNGKey(config["loader"].get("seed") or 0),
     )
 
@@ -122,22 +155,44 @@ def train(args, config_parser: YAMLParser):
             )
             # replay prior loss history into the new run
             # (reference ``utils/utils.py:33-44``)
-            from taming_event_flow_tpu.tracking.store import default_store
+            if is_main:
+                from taming_event_flow_tpu.tracking.store import default_store
 
-            for _, v, s in default_store().read_metric(
-                args.prev_runid, "loss"
-            ):
-                tracking.log_metric("loss", v, step=s)
-                tb.add_scalar("loss", v, s)
+                for _, v, s in default_store().read_metric(
+                    args.prev_runid, "loss"
+                ):
+                    tracking.log_metric("loss", v, step=s)
+                    tb.add_scalar("loss", v, s)
     data.epoch = epoch
 
     # device mesh: config-driven 2-D (data x event) shape, else auto-DP
-    par_cfg = config.get("parallel", {}) or {}
     n_dev = len(jax.devices())
     n_event = int(par_cfg.get("event") or 1)
     mesh = None
     event_mesh = None
-    if n_event > 1:
+    if multihost:
+        from taming_event_flow_tpu.parallel import (
+            globalize_state,
+            make_event_parallel_train_step,
+            make_multihost_event_mesh,
+        )
+
+        # DCN-aware global mesh: the event axis stays host-internal so its
+        # per-window IWE psums ride ICI; only the gradient reduction spans
+        # hosts. n_event = 1 degenerates to pure multi-host data parallel.
+        event_mesh = make_multihost_event_mesh(n_event)
+        n_data = n_dev // n_event
+        if batch_size % n_data:
+            raise ValueError(
+                f"batch_size {batch_size} not divisible by data axis {n_data}"
+            )
+        state = globalize_state(state, event_mesh, batch_size)
+        print(
+            f"Multi-host (data={n_data}, event={n_event}) mesh over "
+            f"{jax.process_count()} hosts x {jax.local_device_count()} "
+            "devices"
+        )
+    elif n_event > 1:
         from taming_event_flow_tpu.parallel import (
             make_event_mesh,
             make_event_parallel_train_step,
@@ -207,11 +262,22 @@ def train(args, config_parser: YAMLParser):
         while True:
             batch = data.next_batch()
 
-            if batch["new_seq"].any():
-                window_batches = []
-                yield ("reset", batch["new_seq"].copy())
+            new_seq = batch["new_seq"]
+            epoch_done = data.seq_num >= len(data.files)
+            if multihost:
+                # lanes roll over at different local steps on each host;
+                # one tiny allgather per batch makes the control decisions
+                # global so every process stays in collective lockstep
+                # (hosts already done keep streaming until ALL are)
+                from taming_event_flow_tpu.parallel import exchange_flags
 
-            if data.seq_num >= len(data.files):  # epoch rollover
+                new_seq, epoch_done = exchange_flags(new_seq, epoch_done)
+
+            if new_seq.any():
+                window_batches = []
+                yield ("reset", new_seq.copy())
+
+            if epoch_done:  # epoch rollover (global barrier on multihost)
                 yield ("epoch_end", data.epoch, windows_in_epoch)
                 windows_in_epoch = 0
                 data.epoch += 1
@@ -243,7 +309,13 @@ def train(args, config_parser: YAMLParser):
             train_loss += float(pending.pop(0))
             windows_done += 1
 
-    prefetcher = Prefetcher(window_stream(), depth=3)
+    # multihost: the producer issues the flag-exchange collective, so it
+    # must run inline on the main thread — a prefetch thread would
+    # interleave its collectives nondeterministically with the train step's
+    prefetcher = (
+        window_stream() if multihost
+        else Prefetcher(window_stream(), depth=3)
+    )
     try:
         for event in prefetcher:
             if event[0] == "reset":
@@ -257,24 +329,33 @@ def train(args, config_parser: YAMLParser):
                 # reference semantics: one batch_size increment per optimizer
                 # step (train_flow.py:119-121)
                 avg = train_loss / max(n_windows * batch_size, 1)
-                tracking.log_metric("loss", avg, step=epoch_num)
-                tb.add_scalar("loss", avg, epoch_num)
+                if is_main:
+                    tracking.log_metric("loss", avg, step=epoch_num)
+                    tb.add_scalar("loss", avg, epoch_num)
                 if avg < best_loss:
-                    save_checkpoint(
-                        runid, jax.device_get(state.params),
-                        jax.device_get(state.opt_state),
-                        step=int(state.step), epoch=epoch_num,
-                    )
+                    if is_main:
+                        save_checkpoint(
+                            runid, jax.device_get(state.params),
+                            jax.device_get(state.opt_state),
+                            step=int(state.step), epoch=epoch_num,
+                        )
                     best_loss = avg
                 train_loss = 0.0
                 windows_done = 0
             else:
                 _, window, (epoch_num, seq_num) = event
-                window = {k: jnp.asarray(v) for k, v in window.items()}
-                if event_mesh is not None:
-                    window = shard_window_2d(window, event_mesh)
-                elif mesh is not None:
-                    window = shard_window(window, mesh)
+                if multihost:
+                    from taming_event_flow_tpu.parallel import (
+                        globalize_window,
+                    )
+
+                    window = globalize_window(window, event_mesh, batch_size)
+                else:
+                    window = {k: jnp.asarray(v) for k, v in window.items()}
+                    if event_mesh is not None:
+                        window = shard_window_2d(window, event_mesh)
+                    elif mesh is not None:
+                        window = shard_window(window, mesh)
 
                 state, loss = step_fn(state, window)
                 pending.append(loss)
@@ -296,9 +377,12 @@ def train(args, config_parser: YAMLParser):
 
         drain(0)
     finally:
-        prefetcher.close()
-    tb.close()
-    tracking.end_run()
+        if hasattr(prefetcher, "close"):
+            prefetcher.close()
+    if tb is not None:
+        tb.close()
+    if is_main:
+        tracking.end_run()
     return runid
 
 
