@@ -72,26 +72,43 @@ def bench_eval_protocol(res, passes, n_events, iters=30, full_vis=True):
     params = model.init(jax.random.PRNGKey(0), x, carry)["params"]
     forward = make_forward_fn(model)
 
+    import functools
+
     val = IterativeValidation(
         ValConfig(res=res, passes=passes, track_fw_prop=full_vis,
                   track_bw=full_vis),
         1, n_events)
-    vstate = val.init()
-    update = jax.jit(val.update, donate_argnums=(0,))
+    # jit the state reset: eagerly it is ~15 separate dispatches (one per
+    # buffer) and dominates short protocols; the boundary reset additionally
+    # donates so XLA zeroes the buffers in place
+    init = jax.jit(val.init)
+    reset = jax.jit(val.reset, donate_argnums=(0,))
+    vstate = init()
+    # one jitted specialization per occupied-slot count, like eval_flow.py
+    updates = [
+        jax.jit(functools.partial(val.update, n_active=k),
+                donate_argnums=(0,))
+        for k in range(1, passes + 1)
+    ]
 
     rng = np.random.default_rng(0)
     ev, pol = _synthetic_events(rng, (1, n_events), res)
     emask = jnp.ones((1, res[0], res[1], 1), jnp.float32)
 
-    # warmup
-    flows, carry = forward(params, carry, x)
-    vstate = update(vstate, flows[-1], ev, pol, emask)
+    # warmup / compile all pass positions of one full window
+    for k in range(passes):
+        flows, carry = forward(params, carry, x)
+        vstate = updates[k](vstate, flows[-1], ev, pol, emask)
     _sync(vstate.fw_loc)
+    vstate = reset(vstate)
 
     t0 = time.perf_counter()
-    for _ in range(iters):
+    for i in range(iters):
         flows, carry = forward(params, carry, x)
-        vstate = update(vstate, flows[-1], ev, pol, emask)
+        k = i % passes
+        if k == 0 and i > 0:
+            vstate = reset(vstate)  # window boundary, like the eval CLI
+        vstate = updates[k](vstate, flows[-1], ev, pol, emask)
     _sync(vstate.fw_loc)
     per_pass = (time.perf_counter() - t0) / iters
     return {
@@ -146,8 +163,75 @@ def bench_train(batch, res=(128, 128), passes=10, n_events=8192, iters=10):
     return dt, warps_per_step / dt / 1e6
 
 
+def pallas_correctness_check():
+    """Compile + run every Pallas kernel shape class ON THE CHIP and compare
+    against the XLA formulations (interpret mode is NOT a lowering check —
+    Mosaic rejects programs it accepts; this gates the round's bench on the
+    real lowering). Returns "ok" or the failure string."""
+    import jax
+    import jax.numpy as jnp
+
+    from taming_event_flow_tpu.ops import (
+        gather_values,
+        set_warp_backend,
+        splat_values,
+    )
+    from taming_event_flow_tpu.ops.precision import set_matmul_precision
+
+    try:
+        set_matmul_precision("highest")
+        rng = np.random.default_rng(1)
+        outs = {}
+        # (res, m, c): small-map C=4 (train IWE), large-map C=2 (eval),
+        # non-tile-aligned odd shape
+        cases = [((128, 128), 4096, 4), ((480, 640), 4096, 2),
+                 ((200, 300), 1000, 2)]
+        for backend in ("xla", "pallas"):
+            set_warp_backend(backend)
+            acc = []
+            for res, m, c in cases:
+                loc = jnp.asarray(
+                    np.stack([rng.uniform(-2, res[0] + 1, (2, m)),
+                              rng.uniform(-2, res[1] + 1, (2, m))], -1),
+                    jnp.float32)
+                vals = jnp.asarray(rng.normal(size=(2, m, c)), jnp.float32)
+                maps = jnp.asarray(
+                    rng.normal(size=(2, res[0], res[1], c)), jnp.float32)
+
+                def f(l, v, mp, res=res):
+                    s = splat_values(l, v, res)
+                    g = gather_values(mp, l)
+                    return jnp.sum(s * s) + jnp.sum(g * g)
+
+                val, grads = jax.jit(
+                    jax.value_and_grad(f, argnums=(0, 1, 2))
+                )(loc, vals, maps)
+                acc.append((np.asarray(val),
+                            [np.asarray(g) for g in grads]))
+            outs[backend] = acc
+            # fresh inputs per backend loop would break comparison; rewind
+            rng = np.random.default_rng(1)
+        for (vx, gx), (vp, gp) in zip(outs["xla"], outs["pallas"]):
+            dv = abs(vx - vp) / (abs(vx) + 1e-9)
+            dg = max(
+                np.max(np.abs(a - b)) / (np.max(np.abs(a)) + 1e-9)
+                for a, b in zip(gx, gp)
+            )
+            if dv > 1e-4 or dg > 1e-4:
+                return f"numerical divergence dv={dv:.2e} dg={dg:.2e}"
+        return "ok"
+    except Exception as e:  # lowering/compile failures must fail LOUDLY
+        return f"{type(e).__name__}: {e}"
+    finally:
+        set_matmul_precision("default")
+        set_warp_backend("auto")
+
+
 def main():
     import jax
+
+    # gate: every Pallas kernel must still lower + run on the real chip
+    pallas_ok = pallas_correctness_check()
 
     # headline: the reference's training config (batch 8 per README.md:147)
     dt8, mev8 = bench_train(batch=8)
@@ -163,6 +247,7 @@ def main():
         "unit": "Mevents/s",
         "vs_baseline": round(mev8 / 100.0, 3),
         "detail": {
+            "pallas_correctness": pallas_ok,
             "train_step_ms": round(dt8 * 1e3, 2),
             "res": [128, 128],
             "passes": 10,

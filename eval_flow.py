@@ -143,15 +143,43 @@ def test(args, config_parser: YAMLParser):
         set_warp_backend("xla")
         print(f"Event-sharded eval over {n_dev} devices")
 
-    def fresh_state():
-        s = criteria.init()
+    # jitted state reset: eager init() is ~15 separate device dispatches
+    # (one per buffer) and runs at every window boundary. The boundary path
+    # donates the old state so XLA zeroes the buffers in place (no
+    # allocator churn). Holders so the grow-bucket path can swap them
+    # together with `criteria`.
+    _init_jit = [jax.jit(criteria.init)]
+    _reset_jit = [jax.jit(criteria.reset, donate_argnums=(0,))]
+
+    def fresh_state(old=None):
+        if old is not None:
+            # donating reset preserves the old state's placement
+            return _reset_jit[0](old)
+        s = _init_jit[0]()
         if eval_mesh:
             return shard_val_state(s, eval_mesh, round_ts=val_cfg.round_ts)
         return s
 
     vstate = fresh_state()
-    # donate the slot state: XLA updates the big per-pass buffers in place
-    update = jax.jit(criteria.update, donate_argnums=(0,))
+    # donate the slot state (XLA updates the big per-pass buffers in place)
+    # and specialize the update per occupied-slot count: the incremental
+    # forward warp then gathers only the active slots (~P/2x less work) —
+    # one small compile per count, amortized over the whole sequence
+    import functools
+
+    _update_jits = {}
+
+    def update(vstate, *args, n_active):
+        fn = _update_jits.get(n_active)
+        if fn is None:
+            fn = jax.jit(
+                functools.partial(criteria.update, n_active=n_active),
+                donate_argnums=(0,),
+            )
+            _update_jits[n_active] = fn
+        return fn(vstate, *args)
+
+    passes_done = 0  # host-side mirror of vstate.pass_idx (avoids syncs)
 
     from taming_event_flow_tpu.utils import ProgressBar
 
@@ -175,7 +203,8 @@ def test(args, config_parser: YAMLParser):
                     data.seq_name, max=data.get_iters(data.lanes[0])
                 )
             carry = model.init_state(1, res[0], res[1])
-            vstate = fresh_state()
+            vstate = fresh_state(vstate)
+            passes_done = 0
 
         if config["data"]["mode"] == "gtflow" and batch["ts_jump_reset"].any():
             data.clear_ts_jump()
@@ -200,7 +229,9 @@ def test(args, config_parser: YAMLParser):
             )
             criteria = val_cls(val_cfg, 1, n_batch)
             vstate = grow_val_state(vstate, n_batch)
-            update = jax.jit(criteria.update, donate_argnums=(0,))
+            _update_jits.clear()
+            _init_jit[0] = jax.jit(criteria.init)
+            _reset_jit[0] = jax.jit(criteria.reset, donate_argnums=(0,))
         elif n_batch < criteria.n_events:
             batch = pad_batch_events(batch, criteria.n_events)
 
@@ -230,10 +261,12 @@ def test(args, config_parser: YAMLParser):
         vstate = update(
             vstate, flow_fine, ev_in, pol_in,
             jnp.asarray(batch["event_mask"]),
+            n_active=passes_done + 1,
         )
+        passes_done += 1
 
         if vis_on:
-            num = int(vstate.pass_idx)
+            num = passes_done
             if passes > 1 and config["vis"].get("dynamic"):
                 if want_vis("events_dynamic"):
                     vis.data["events_dynamic"] = np.asarray(
@@ -265,7 +298,7 @@ def test(args, config_parser: YAMLParser):
         val_results = initialize_quant_results(
             val_results, sequence, metric_names
         )
-        if int(vstate.pass_idx) == passes:
+        if passes_done == passes:
             compute = True
             if "eval_time" in metrics_cfg:
                 t = data.last_proc_timestamp
@@ -307,7 +340,8 @@ def test(args, config_parser: YAMLParser):
                         )
                         val_results[sequence][metric]["it"] += 1
 
-            vstate = fresh_state()
+            vstate = fresh_state(vstate)
+            passes_done = 0
 
         if config["vis"].get("enabled") or config["vis"].get("store"):
             vis.data["flow"] = flow_vis

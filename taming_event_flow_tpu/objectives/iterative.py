@@ -206,6 +206,86 @@ def _sweep_batched(tbl_loc, tbl_mask, ts, shared_mask, low_pass, high_pass,
     return focus_loss(iwe, iwe_ts_norm, cfg.loss_scaling)
 
 
+def warp_table_triangular(flow_maps, event_loc, event_ts, pol_mask, res,
+                          grad_mask=None):
+    """:func:`warp_table` with the wasted half of the work removed.
+
+    The scan formulation warps ALL P windows at every timeline step and
+    ``where``-discards the inactive ones — at step τ the forward direction
+    only needs windows ``t <= τ`` and the backward one ``t >= τ``, so half
+    of every gather (and its factor traffic, the measured step bottleneck)
+    is thrown away. Here the timeline is a python loop with per-step STATIC
+    ragged slices: the forward pass carries exactly the τ+1 joined windows,
+    the backward pass exactly the P-τ remaining ones. The two directions'
+    entries are complementary — ``table[tref] = concat(fw[: tref],
+    bw[tref :])`` — so the stacked table assembles with no padding and is
+    numerically identical to the scan version (pinned by tests).
+
+    Same contract as :func:`warp_table`.
+    """
+    p = flow_maps.shape[0]
+
+    def gate(loc, gm):
+        if gm is None:
+            return loc
+        return jnp.where(gm > 0, loc, jax.lax.stop_gradient(loc))
+
+    def sg(x):
+        return jax.lax.stop_gradient(x)
+
+    # ---- forward: windows join at their own pass and ride to the end
+    fw_tab = []  # fw_tab[τ] = (loc, mask) of windows [0 : τ+1] at tref τ+1
+    cur_loc = event_loc[0:1]
+    cur_ts = event_ts[0:1]
+    cur_mask = pol_mask[0:1]
+    for tau in range(p):
+        if tau > 0:
+            cur_loc = jnp.concatenate([cur_loc, event_loc[tau:tau + 1]])
+            cur_ts = jnp.concatenate([cur_ts, event_ts[tau:tau + 1]])
+            cur_mask = jnp.concatenate([cur_mask, pol_mask[tau:tau + 1]])
+        flow = _sample_all(flow_maps[tau], cur_loc)
+        prop = cur_loc + (tau + 1.0 - cur_ts) * flow
+        prop, cur_mask = _purge(prop, cur_mask, res)
+        cur_mask = sg(cur_mask)
+        gm = None if grad_mask is None else grad_mask[: tau + 1]
+        fw_tab.append((gate(prop, gm), cur_mask))
+        cur_loc = prop
+        cur_ts = jnp.full_like(cur_ts, tau + 1.0)
+
+    # ---- backward: windows join as the timeline walks back past them
+    bw_tab = [None] * p  # bw_tab[τ] = (loc, mask) of windows [τ : P] at tref τ
+    cur_loc = event_loc[p - 1:]
+    cur_ts = event_ts[p - 1:]
+    cur_mask = pol_mask[p - 1:]
+    for tau in range(p - 1, -1, -1):
+        if tau < p - 1:
+            cur_loc = jnp.concatenate([event_loc[tau:tau + 1], cur_loc])
+            cur_ts = jnp.concatenate([event_ts[tau:tau + 1], cur_ts])
+            cur_mask = jnp.concatenate([pol_mask[tau:tau + 1], cur_mask])
+        flow = _sample_all(flow_maps[tau], cur_loc)
+        prop = cur_loc + (tau - cur_ts) * flow
+        prop, cur_mask = _purge(prop, cur_mask, res)
+        cur_mask = sg(cur_mask)
+        gm = None if grad_mask is None else grad_mask[tau:]
+        bw_tab[tau] = (gate(prop, gm), cur_mask)
+        cur_loc = prop
+        cur_ts = jnp.full_like(cur_ts, float(tau))
+
+    # ---- assemble: the ragged pieces are exactly complementary
+    table_loc = [bw_tab[0][0]]
+    table_mask = [bw_tab[0][1]]
+    for tref in range(1, p):
+        table_loc.append(
+            jnp.concatenate([fw_tab[tref - 1][0][:tref], bw_tab[tref][0]])
+        )
+        table_mask.append(
+            jnp.concatenate([fw_tab[tref - 1][1][:tref], bw_tab[tref][1]])
+        )
+    table_loc.append(fw_tab[p - 1][0])
+    table_mask.append(fw_tab[p - 1][1])
+    return jnp.stack(table_loc), jnp.stack(table_mask)
+
+
 def iterative_loss(flows, event_list, pol_mask, grad_mask, cfg: LossConfig,
                    event_axis=None):
     """Full Iterative contrast-max training loss
@@ -239,10 +319,15 @@ def iterative_loss(flows, event_list, pol_mask, grad_mask, cfg: LossConfig,
     # 391 vs 311 ms steps, commit 4988588), and the 4x-smaller per-scale
     # live set is what lets warp_remat stay off (276 ms, README roofline).
     def scale_loss(flow_maps):
-        tbl_loc, tbl_mask = warp_table(
-            flow_maps, loc, ts, pol_mask, cfg.res, grad_mask=grad_mask,
-            remat=cfg.warp_remat, unroll=cfg.scan_unroll,
-        )
+        if cfg.triangular_warp:
+            tbl_loc, tbl_mask = warp_table_triangular(
+                flow_maps, loc, ts, pol_mask, cfg.res, grad_mask=grad_mask,
+            )
+        else:
+            tbl_loc, tbl_mask = warp_table(
+                flow_maps, loc, ts, pol_mask, cfg.res, grad_mask=grad_mask,
+                remat=cfg.warp_remat, unroll=cfg.scan_unroll,
+            )
 
         loss = 0.0
         for s, scale in enumerate(cfg.passes_list):

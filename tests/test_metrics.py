@@ -185,3 +185,32 @@ def test_validation_padding_invariance(rng):
         np.asarray(val.window_iwe(state, "backward")),
         np.asarray(val_p.window_iwe(state_p, "backward")), atol=1e-5,
     )
+
+
+def test_update_n_active_specialization_matches_masked(rng):
+    """The statically-specialized update (n_active=k slot slice) must equal
+    the single-program masked update bit-for-bit at every pass position,
+    for both tracking configs."""
+    import functools
+
+    for track in (False, True):
+        cfg = ValConfig(res=RES, passes=P, track_fw_prop=track,
+                        track_bw=track)
+        val = IterativeValidation(cfg, B, N)
+        s_masked = val.init()
+        s_spec = val.init()
+        upd_masked = jax.jit(val.update)
+        for k in range(1, P + 1):
+            flow, ev, pol, emask = make_pass(rng)
+            args = (jnp.asarray(flow), jnp.asarray(ev), jnp.asarray(pol),
+                    jnp.asarray(emask))
+            s_masked = upd_masked(s_masked, *args)
+            s_spec = jax.jit(
+                functools.partial(val.update, n_active=k)
+            )(s_spec, *args)
+            for name in s_masked._fields:
+                np.testing.assert_array_equal(
+                    np.asarray(getattr(s_masked, name)),
+                    np.asarray(getattr(s_spec, name)),
+                    err_msg=f"track={track} pass {k} field {name}",
+                )

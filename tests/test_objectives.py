@@ -339,3 +339,42 @@ def test_batched_sweep_matches_looped(rng, passes, scales, mode, border):
     np.testing.assert_allclose(
         np.asarray(grad_b), np.asarray(grad_l), rtol=1e-5, atol=1e-7
     )
+
+
+@pytest.mark.parametrize(
+    "passes,scales,mode,border",
+    [
+        (4, 1, "two", True),
+        (4, 2, "two", True),
+        (3, 1, "one", False),
+        (2, 1, "four", True),
+    ],
+)
+def test_triangular_warp_matches_scan(rng, passes, scales, mode, border):
+    """The ragged-unrolled warp table equals the scan-built one: same loss,
+    same flow gradients (the discarded half of the scan's work never feeds
+    the sweep)."""
+    eff_passes = passes * 2 if mode == "four" else passes
+    flows, events, pol, grad_mask = make_inputs(rng, eff_passes)
+
+    def run(tri):
+        cfg = LossConfig(
+            res=RES, passes_loss=eff_passes, scales_loss=scales,
+            iterative_mode=mode, border_compensation=border,
+            triangular_warp=tri,
+        )
+        return jax.value_and_grad(
+            lambda f: iterative_loss(
+                f, jnp.asarray(events), jnp.asarray(pol),
+                jnp.asarray(grad_mask), cfg,
+            )
+        )(jnp.asarray(flows))
+
+    loss_t, grad_t = run(True)
+    loss_s, grad_s = run(False)
+    np.testing.assert_allclose(float(loss_t), float(loss_s), rtol=1e-6)
+    # atol covers float-reassociation noise on near-zero elements (the
+    # ragged gathers contract at different batch widths)
+    np.testing.assert_allclose(
+        np.asarray(grad_t), np.asarray(grad_s), rtol=1e-5, atol=5e-6
+    )
