@@ -34,7 +34,7 @@ from taming_event_flow_tpu.tracking.loggers import (
     log_config,
     log_results,
 )
-from taming_event_flow_tpu.training import make_forward_fn
+from taming_event_flow_tpu.training import make_eval_step, make_forward_fn
 from taming_event_flow_tpu.training.window import pad_batch_events
 from taming_event_flow_tpu.utils import Visualization
 
@@ -101,7 +101,8 @@ def test(args, config_parser: YAMLParser):
     else:
         print("WARNING: no checkpoint found for run; evaluating random init")
 
-    forward = make_forward_fn(model, flow_scaling=flow_scaling)
+    # fused forward+update step (one jitted program per pass position,
+    # carry and slot state donated — see training.make_eval_step)
 
     vis_on = bool(config["vis"].get("enabled") or config["vis"].get("store"))
 
@@ -161,23 +162,7 @@ def test(args, config_parser: YAMLParser):
         return s
 
     vstate = fresh_state()
-    # donate the slot state (XLA updates the big per-pass buffers in place)
-    # and specialize the update per occupied-slot count: the incremental
-    # forward warp then gathers only the active slots (~P/2x less work) —
-    # one small compile per count, amortized over the whole sequence
-    import functools
-
-    _update_jits = {}
-
-    def update(vstate, *args, n_active):
-        fn = _update_jits.get(n_active)
-        if fn is None:
-            fn = jax.jit(
-                functools.partial(criteria.update, n_active=n_active),
-                donate_argnums=(0,),
-            )
-            _update_jits[n_active] = fn
-        return fn(vstate, *args)
+    _eval_step = [make_eval_step(model, criteria, flow_scaling)]
 
     passes_done = 0  # host-side mirror of vstate.pass_idx (avoids syncs)
 
@@ -229,15 +214,23 @@ def test(args, config_parser: YAMLParser):
             )
             criteria = val_cls(val_cfg, 1, n_batch)
             vstate = grow_val_state(vstate, n_batch)
-            _update_jits.clear()
+            _eval_step[0] = make_eval_step(model, criteria, flow_scaling)
             _init_jit[0] = jax.jit(criteria.init)
             _reset_jit[0] = jax.jit(criteria.reset, donate_argnums=(0,))
         elif n_batch < criteria.n_events:
             batch = pad_batch_events(batch, criteria.n_events)
 
         x = jnp.asarray(batch["net_input"])
-        flows, carry = forward(params, carry, x)
-        flow_fine = flows[-1]  # [B, H, W, 2]
+        ev_in = jnp.asarray(batch["event_list"])
+        pol_in = jnp.asarray(batch["event_list_pol_mask"])
+        if eval_mesh is not None:
+            ev_in, pol_in = shard_eval_batch(ev_in, pol_in, eval_mesh)
+        vstate, carry, flow_fine = _eval_step[0](
+            vstate, carry, params, x, ev_in, pol_in,
+            jnp.asarray(batch["event_mask"]),
+            n_active=passes_done + 1,
+        )
+        passes_done += 1
 
         flow_vis = None
         if want_vis("flow") or want_vis("iwe"):
@@ -253,17 +246,6 @@ def test(args, config_parser: YAMLParser):
                     round_idx=False, round_flow=False,
                 )
             )
-
-        ev_in = jnp.asarray(batch["event_list"])
-        pol_in = jnp.asarray(batch["event_list_pol_mask"])
-        if eval_mesh is not None:
-            ev_in, pol_in = shard_eval_batch(ev_in, pol_in, eval_mesh)
-        vstate = update(
-            vstate, flow_fine, ev_in, pol_in,
-            jnp.asarray(batch["event_mask"]),
-            n_active=passes_done + 1,
-        )
-        passes_done += 1
 
         if vis_on:
             num = passes_done

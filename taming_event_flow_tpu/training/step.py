@@ -114,6 +114,42 @@ def make_forward_fn(model, flow_scaling: float = 32.0) -> Callable:
     return forward
 
 
+def make_eval_step(model, val, flow_scaling: float = 32.0) -> Callable:
+    """Fused inference pass: model forward + validation update in ONE jitted
+    program per occupied-slot count, with the recurrent carry and the slot
+    state donated.
+
+    Splitting forward and update into two dispatches costs a host round
+    trip and re-allocates the carry every pass — fusing them measured
+    12.0 -> 8.3 ms/pass at the DSEC 480x640 protocol. Returned signature::
+
+        vstate, carry, flow_fine = step(vstate, carry, params, x,
+                                        ev, pol, emask, n_active=k)
+
+    ``val`` is an ``IterativeValidation``/``LinearValidation`` instance.
+    """
+    import functools
+
+    cache = {}
+
+    def body(k, vstate, carry, params, x, ev, pol, emask):
+        flows, new_carry = model.apply({"params": params}, x, carry,
+                                       train=False)
+        flow_fine = flows[-1] * flow_scaling
+        vs = val.update(vstate, flow_fine, ev, pol, emask, n_active=k)
+        return vs, new_carry, flow_fine
+
+    def step(vstate, carry, params, x, ev, pol, emask, n_active):
+        fn = cache.get(n_active)
+        if fn is None:
+            fn = jax.jit(functools.partial(body, n_active),
+                         donate_argnums=(0, 1))
+            cache[n_active] = fn
+        return fn(vstate, carry, params, x, ev, pol, emask)
+
+    return step
+
+
 @jax.jit
 def reset_carry(carry, reset_mask):
     """Zero the recurrent state of flagged batch lanes.
