@@ -139,9 +139,6 @@ def test(args, config_parser: YAMLParser):
         )
 
         eval_mesh = make_eval_mesh()
-        # opaque Pallas kernels block GSPMD sharding propagation — keep the
-        # sharded path on the partitionable XLA formulations
-        set_warp_backend("xla")
         print(f"Event-sharded eval over {n_dev} devices")
 
     # jitted state reset: eager init() is ~15 separate device dispatches
@@ -163,6 +160,24 @@ def test(args, config_parser: YAMLParser):
 
     vstate = fresh_state()
     _eval_step = [make_eval_step(model, criteria, flow_scaling)]
+
+    # window-boundary metric reducers: jitted; under the event-sharded mesh
+    # they run per shard via shard_map (local splats — Pallas included —
+    # with exact psum merges; parallel/eval.make_sharded_reducers)
+    def _make_reducers():
+        if eval_mesh is not None:
+            from taming_event_flow_tpu.parallel.eval import (
+                make_sharded_reducers,
+            )
+
+            return make_sharded_reducers(criteria, eval_mesh, vstate)
+        return {
+            "fwl": jax.jit(criteria.fwl),
+            "rsat": jax.jit(criteria.rsat),
+            "window_events": jax.jit(criteria.window_events),
+        }
+
+    _reducers = [_make_reducers()]
 
     passes_done = 0  # host-side mirror of vstate.pass_idx (avoids syncs)
 
@@ -215,6 +230,7 @@ def test(args, config_parser: YAMLParser):
             criteria = val_cls(val_cfg, 1, n_batch)
             vstate = grow_val_state(vstate, n_batch)
             _eval_step[0] = make_eval_step(model, criteria, flow_scaling)
+            _reducers[0] = _make_reducers()
             _init_jit[0] = jax.jit(criteria.init)
             _reset_jit[0] = jax.jit(criteria.reset, donate_argnums=(0,))
         elif n_batch < criteria.n_events:
@@ -295,7 +311,7 @@ def test(args, config_parser: YAMLParser):
                 ):
                     mask_aee = None
                     if metrics_cfg.get("mask_aee"):
-                        mask_aee = criteria.window_events(vstate)
+                        mask_aee = _reducers[0]["window_events"](vstate)
                     flow_bw = (
                         criteria.window_flow(vstate, mode="backward", mask=False)
                         * passes
@@ -313,12 +329,12 @@ def test(args, config_parser: YAMLParser):
                 for metric in metric_names:
                     if metric == "RSAT":
                         val_results[sequence][metric]["metric"] += float(
-                            criteria.rsat(vstate)[0]
+                            _reducers[0]["rsat"](vstate)[0]
                         )
                         val_results[sequence][metric]["it"] += 1
                     elif metric == "FWL":
                         val_results[sequence][metric]["metric"] += float(
-                            criteria.fwl(vstate)
+                            _reducers[0]["fwl"](vstate)
                         )
                         val_results[sequence][metric]["it"] += 1
 

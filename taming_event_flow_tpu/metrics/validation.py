@@ -352,12 +352,16 @@ class IterativeValidation:
             jnp.transpose(mask, (1, 0, 2, 3)).reshape(b, p * n, 2),
         )
 
-    def window_events(self, state: ValState, round_idx: bool = False):
+    def window_events(self, state: ValState, round_idx: bool = False,
+                      event_axis=None):
         loc, mask = self._flat_events(state.event_loc, state.pol_mask)
-        return iwe_from_events(loc, mask, self.cfg.res, round_idx=round_idx)
+        iwe = iwe_from_events(loc, mask, self.cfg.res, round_idx=round_idx)
+        if event_axis is not None:
+            iwe = jax.lax.psum(iwe, event_axis)
+        return iwe
 
     def window_iwe(self, state: ValState, mode: str = "forward",
-                   round_idx: bool = False):
+                   round_idx: bool = False, event_axis=None):
         if mode == "forward":
             loc, mask = self._flat_events(state.fw_loc, state.fw_mask)
         elif mode == "backward":
@@ -368,7 +372,10 @@ class IterativeValidation:
             loc, mask = self._flat_events(state.bw_loc, state.bw_mask)
         else:
             raise ValueError(f"Invalid IWE mode: {mode}")
-        return iwe_from_events(loc, mask, self.cfg.res, round_idx=round_idx)
+        iwe = iwe_from_events(loc, mask, self.cfg.res, round_idx=round_idx)
+        if event_axis is not None:
+            iwe = jax.lax.psum(iwe, event_axis)
+        return iwe
 
     def window_flow(self, state: ValState, mode: Optional[str] = None,
                     mask: bool = False):
@@ -399,7 +406,7 @@ class IterativeValidation:
 
     # ---------------- metrics ------------------------------------------
 
-    def rsat(self, state: ValState):
+    def rsat(self, state: ValState, event_axis=None):
         num_passes = jnp.maximum(state.pass_idx.astype(jnp.float32), 1.0)
         return compute_rsat(
             self._flat_events(state.fw_loc, state.fw_mask)[0],
@@ -411,15 +418,17 @@ class IterativeValidation:
             ),
             num_passes,
             self.cfg.res,
+            event_axis=event_axis,
         )
 
-    def fwl(self, state: ValState):
+    def fwl(self, state: ValState, event_axis=None):
         return compute_fwl(
             self._flat_events(state.fw_loc, state.fw_mask)[0],
             self._flat_events(state.event_loc, state.pol_mask)[0],
             self._flat_events(state.fw_loc, state.fw_mask)[1],
             self._flat_events(state.event_loc, state.pol_mask)[1],
             self.cfg.res,
+            event_axis=event_axis,
         )
 
 
@@ -470,9 +479,12 @@ class LinearValidation(IterativeValidation):
         return event_propagation(ts, loc, flow, tref), loc, mask
 
     def window_iwe(self, state: ValState, mode: str = "forward",
-                   round_idx: bool = False):
+                   round_idx: bool = False, event_axis=None):
         fw, _, mask = self._fw_events(state)
-        return iwe_from_events(fw, mask, self.cfg.res, round_idx=round_idx)
+        iwe = iwe_from_events(fw, mask, self.cfg.res, round_idx=round_idx)
+        if event_axis is not None:
+            iwe = jax.lax.psum(iwe, event_axis)
+        return iwe
 
     def window_flow(self, state: ValState, mode: Optional[str] = None,
                     mask: bool = False):
@@ -499,19 +511,21 @@ class LinearValidation(IterativeValidation):
             out = out * m
         return out
 
-    def rsat(self, state: ValState):
+    def rsat(self, state: ValState, event_axis=None):
         fw, loc, mask = self._fw_events(state)
         ts = jnp.transpose(state.event_ts, (1, 0, 2, 3)).reshape(
             state.event_ts.shape[1], -1, 1
         )
         num_passes = jnp.maximum(state.pass_idx.astype(jnp.float32), 1.0)
         _, pol = self._flat_events(state.event_loc, state.pol_mask)
-        return compute_rsat(fw, loc, pol, pol, ts, num_passes, self.cfg.res)
+        return compute_rsat(fw, loc, pol, pol, ts, num_passes, self.cfg.res,
+                            event_axis=event_axis)
 
-    def fwl(self, state: ValState):
+    def fwl(self, state: ValState, event_axis=None):
         fw, loc, mask = self._fw_events(state)
         _, pol = self._flat_events(state.event_loc, state.pol_mask)
-        return compute_fwl(fw, loc, pol, pol, self.cfg.res)
+        return compute_fwl(fw, loc, pol, pol, self.cfg.res,
+                           event_axis=event_axis)
 
 
 def _ts_image_sums(events, pol_mask, ts, res):
@@ -531,9 +545,16 @@ def _ts_image_sums(events, pol_mask, ts, res):
     return buf[..., 0:1], buf[..., 1:2], buf[..., 2:3], buf[..., 3:4]
 
 
-def compute_fwl(fw_events, zero_events, fw_pol, zero_pol, res):
+def compute_fwl(fw_events, zero_events, fw_pol, zero_pol, res,
+                event_axis=None):
     """Flow Warp Loss: var(IWE) / var(zero-warp IWE)
-    (reference ``loss/flow_val.py:189-212``)."""
+    (reference ``loss/flow_val.py:189-212``).
+
+    :param event_axis: optional mesh axis name when running under
+        ``shard_map`` with the event dimension sharded — the per-shard
+        partial IWEs are ``psum``-merged before the variances (exact; the
+        splat is a plain sum over events).
+    """
     from ..ops import splat_values
 
     fw_iwe = splat_values(
@@ -544,16 +565,27 @@ def compute_fwl(fw_events, zero_events, fw_pol, zero_pol, res):
         zero_events, jnp.sum(zero_pol, axis=-1, keepdims=True), res,
         round_idx=True,
     )
+    if event_axis is not None:
+        fw_iwe = jax.lax.psum(fw_iwe, event_axis)
+        z_iwe = jax.lax.psum(z_iwe, event_axis)
     return jnp.var(fw_iwe) / jnp.var(z_iwe)
 
 
 def compute_rsat(fw_events, zero_events, fw_pol, zero_pol, ts, num_passes,
-                 res):
+                 res, event_axis=None):
     """Ratio of Squared Averaged Timestamps
-    (reference ``loss/flow_val.py:214-274``)."""
+    (reference ``loss/flow_val.py:214-274``).
+
+    :param event_axis: see :func:`compute_fwl` — partial count/ts images
+        are ``psum``-merged before any normalization.
+    """
 
     def ts_sum(events, pol):
         pos, neg, pos_ts, neg_ts = _ts_image_sums(events, pol, ts, res)
+        if event_axis is not None:
+            pos, neg, pos_ts, neg_ts = jax.lax.psum(
+                (pos, neg, pos_ts, neg_ts), event_axis
+            )
         pos_ts = pos_ts / (pos + 1e-9) / num_passes
         neg_ts = neg_ts / (neg + 1e-9) / num_passes
         b = pos_ts.shape[0]

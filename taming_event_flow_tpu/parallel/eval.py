@@ -71,3 +71,48 @@ def shard_eval_batch(event_list, pol_mask, mesh: Mesh):
     """Place per-pass event inputs (``[B, N, ...]``) sharded on N."""
     sh = NamedSharding(mesh, P(None, EVAL_EVENT_AXIS))
     return jax.device_put(event_list, sh), jax.device_put(pol_mask, sh)
+
+
+def _state_specs(state) -> "object":
+    """Per-field PartitionSpecs for a ``ValState`` under the event mesh."""
+    return type(state)(**{
+        name: P(None, None, EVAL_EVENT_AXIS) if name in _EVENT_FIELDS
+        else P()
+        for name in state._fields
+    })
+
+
+def make_sharded_reducers(criteria, mesh: Mesh, template_state):
+    """Jitted ``shard_map`` wrappers for the window-level metric reducers.
+
+    Under the event-sharded slot state the reducers' splats see only local
+    shards; each wrapper runs the reducer per shard with
+    ``event_axis=EVAL_EVENT_AXIS`` (partial IWEs ``psum``-merged before any
+    normalization — exact) — so the splat backends, Pallas included, run
+    on LOCAL data and never block GSPMD propagation.
+
+    :return: dict with jitted ``fwl(state)``, ``rsat(state)``,
+        ``window_events(state)`` callables.
+    """
+    from jax import shard_map
+
+    specs = _state_specs(template_state)
+
+    def wrap(fn, out_spec=P()):
+        inner = shard_map(
+            fn, mesh=mesh, in_specs=(specs,), out_specs=out_spec,
+            check_vma=False,
+        )
+        return jax.jit(inner)
+
+    return {
+        "fwl": wrap(lambda s: criteria.fwl(s, event_axis=EVAL_EVENT_AXIS)),
+        "rsat": wrap(
+            lambda s: criteria.rsat(s, event_axis=EVAL_EVENT_AXIS)
+        ),
+        "window_events": wrap(
+            lambda s: criteria.window_events(
+                s, event_axis=EVAL_EVENT_AXIS
+            )
+        ),
+    }

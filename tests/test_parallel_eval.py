@@ -69,3 +69,44 @@ def test_event_sharded_eval_matches_single_device(rng):
         np.asarray(val.window_flow(ref, mode="backward")),
         rtol=1e-6, atol=1e-6,
     )
+
+
+def test_sharded_reducers_match_unsharded_all_backends(rng):
+    """The shard_map-wrapped reducers (local splats + psum) equal the
+    unsharded ones under BOTH warp backends — the Pallas kernels run on
+    local shards, so the sharded eval path no longer needs the xla
+    override."""
+    from taming_event_flow_tpu.ops import set_warp_backend
+    from taming_event_flow_tpu.parallel.eval import make_sharded_reducers
+
+    val = IterativeValidation(ValConfig(res=RES, passes=PASSES), 1, N)
+    update = jax.jit(val.update)
+    ref = val.init()
+    mesh = make_eval_mesh(8)
+    sh = shard_val_state(val.init(), mesh)
+    for p in range(PASSES):
+        flow, ev, pol, emask = _inputs(rng, p)
+        ref = update(ref, flow, ev, pol, emask)
+        ev_s, pol_s = shard_eval_batch(ev, pol, mesh)
+        sh = update(sh, flow, ev_s, pol_s, emask)
+
+    try:
+        for backend in ("xla", "pallas"):
+            set_warp_backend(backend)
+            red = make_sharded_reducers(val, mesh, sh)
+            np.testing.assert_allclose(
+                float(red["fwl"](sh)), float(jax.jit(val.fwl)(ref)),
+                rtol=1e-5, err_msg=f"fwl {backend}",
+            )
+            np.testing.assert_allclose(
+                np.asarray(red["rsat"](sh)),
+                np.asarray(jax.jit(val.rsat)(ref)),
+                rtol=1e-5, err_msg=f"rsat {backend}",
+            )
+            np.testing.assert_allclose(
+                np.asarray(red["window_events"](sh)),
+                np.asarray(jax.jit(val.window_events)(ref)),
+                rtol=1e-5, atol=1e-6, err_msg=f"window_events {backend}",
+            )
+    finally:
+        set_warp_backend("auto")
