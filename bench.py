@@ -91,17 +91,22 @@ def bench_eval_protocol(res, passes, n_events, iters=30, full_vis=True):
         vstate, carry, _ = step(vstate, carry, params, x, ev, pol, emask,
                                 n_active=k)
     _sync(vstate.fw_loc)
-    vstate = reset(vstate)
 
-    t0 = time.perf_counter()
-    for i in range(iters):
-        k = i % passes
-        if k == 0 and i > 0:
-            vstate = reset(vstate)  # window boundary, like the eval CLI
-        vstate, carry, _ = step(vstate, carry, params, x, ev, pol, emask,
-                                n_active=k + 1)
-    _sync(vstate.fw_loc)
-    per_pass = (time.perf_counter() - t0) / iters
+    # best-of-3 timing loops: the per-pass host dispatch makes this number
+    # sensitive to host CPU contention (measured ±20% on the 1-core host);
+    # the min reflects the device's actual streaming capability
+    per_pass = float("inf")
+    for _ in range(3):
+        vstate = reset(vstate)
+        t0 = time.perf_counter()
+        for i in range(iters):
+            k = i % passes
+            if k == 0 and i > 0:
+                vstate = reset(vstate)  # window boundary, like the eval CLI
+            vstate, carry, _ = step(vstate, carry, params, x, ev, pol,
+                                    emask, n_active=k + 1)
+        _sync(vstate.fw_loc)
+        per_pass = min(per_pass, (time.perf_counter() - t0) / iters)
     return {
         "pass_ms": round(per_pass * 1e3, 2),
         "gt_frames_per_s": round(1.0 / (passes * per_pass), 2),

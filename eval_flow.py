@@ -159,7 +159,18 @@ def test(args, config_parser: YAMLParser):
         return s
 
     vstate = fresh_state()
-    _eval_step = [make_eval_step(model, criteria, flow_scaling)]
+    # optional reduced-precision model forward (metrics.inference_dtype:
+    # bfloat16) — the warp/metric pipeline stays f32; see
+    # scripts/study_bf16_eval.py for the metric-impact study
+    inference_dtype = None
+    if metrics_cfg.get("inference_dtype") in ("bfloat16", "bf16"):
+        inference_dtype = jnp.bfloat16
+
+    def _make_step():
+        return make_eval_step(model, criteria, flow_scaling,
+                              inference_dtype=inference_dtype)
+
+    _eval_step = [_make_step()]
 
     # window-boundary metric reducers: jitted; under the event-sharded mesh
     # they run per shard via shard_map (local splats — Pallas included —
@@ -229,7 +240,7 @@ def test(args, config_parser: YAMLParser):
             )
             criteria = val_cls(val_cfg, 1, n_batch)
             vstate = grow_val_state(vstate, n_batch)
-            _eval_step[0] = make_eval_step(model, criteria, flow_scaling)
+            _eval_step[0] = _make_step()
             _reducers[0] = _make_reducers()
             _init_jit[0] = jax.jit(criteria.init)
             _reset_jit[0] = jax.jit(criteria.reset, donate_argnums=(0,))

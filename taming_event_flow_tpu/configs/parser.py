@@ -65,6 +65,7 @@ DEFAULTS: Dict[str, Any] = {
         "scan_unroll": 1,  # unroll factor for warp/model scans
         "warp_backend": "auto",  # auto | xla | pallas (ops/backend.py)
         "batched_sweep": False,  # tref-batched IWE sweep (objectives/iterative.py)
+        "triangular_warp": True,  # ragged warp table (objectives/iterative.py)
     },
     "metrics": {},
     "optimizer": {"name": "Adam", "lr": 1e-5},

@@ -146,7 +146,10 @@ KEYS = [
     "flow", "flow_window", "flow_dynamic", "flow_bw",
     "iwe", "iwe_fw_window", "iwe_bw_window",
     "iwe_fw_dynamic", "iwe_bw_dynamic",
-    "flow_gt", "error_flow",
+    # depth_gt: slot-surface parity with the reference (its
+    # ``visualization.py:43,102`` copies ``inputs["gtdepth"]``, which no
+    # reference loader ever produces — vestigial there, same here)
+    "flow_gt", "depth_gt", "error_flow",
 ]
 
 
@@ -193,6 +196,8 @@ class Visualization:
             self.data["events"] = None if src is None else np.asarray(src)
         if "gtflow" in inputs and inputs["gtflow"] is not None:
             self.data["flow_gt"] = np.asarray(inputs["gtflow"])
+        if "gtdepth" in inputs and inputs["gtdepth"] is not None:
+            self.data["depth_gt"] = np.asarray(inputs["gtdepth"])
 
         # AEE error panel
         if self.data.get("flow_bw") is not None and self.data.get("flow_gt") is not None:

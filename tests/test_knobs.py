@@ -92,3 +92,6 @@ def test_config_defaults_expose_knobs():
     assert loss["matmul_precision"] == "default"
     assert loss["warp_remat"] is False
     assert loss["scan_unroll"] == 1
+    assert loss["warp_backend"] == "auto"
+    assert loss["batched_sweep"] is False
+    assert loss["triangular_warp"] is True

@@ -131,6 +131,7 @@ def train(args, config_parser: YAMLParser):
         warp_remat=bool(config["loss"].get("warp_remat", True)),
         scan_unroll=int(config["loss"].get("scan_unroll", 1)),
         batched_sweep=bool(config["loss"].get("batched_sweep", False)),
+        triangular_warp=bool(config["loss"].get("triangular_warp", True)),
     )
     optimizer = build_optimizer(
         config["optimizer"], clip_grad=config["loss"].get("clip_grad")
