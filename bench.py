@@ -51,9 +51,12 @@ def _synthetic_events(rng, shape, res):
 
 
 def bench_eval_protocol(res, passes, n_events, iters=30, full_vis=True):
-    """Model forward + Iterative validation update per pass at an eval
-    protocol's shapes. Covers both DSEC (480x640, 10 passes) and MVSEC
-    (260x346, 1 pass). Reports per-pass latency and GT-frames/s.
+    """Model forward + Iterative validation update at an eval protocol's
+    shapes, one jitted program per GT WINDOW (``make_eval_window_step`` —
+    the eval CLI's recorded-protocol path: all P pass bodies unrolled in a
+    single dispatch, window-boundary reset donated). Covers both DSEC
+    (480x640, 10 passes) and MVSEC (260x346, 1 pass). Reports per-pass
+    latency and GT-frames/s.
 
     ``full_vis=False`` is the DSEC submission configuration
     (``configs/eval_dsec.yml`` shows only ``flow_bw``; the fw-propagated
@@ -64,7 +67,7 @@ def bench_eval_protocol(res, passes, n_events, iters=30, full_vis=True):
 
     from taming_event_flow_tpu.models import RecEVFlowNet
     from taming_event_flow_tpu.metrics import IterativeValidation, ValConfig
-    from taming_event_flow_tpu.training import make_eval_step
+    from taming_event_flow_tpu.training import make_eval_window_step
 
     model = RecEVFlowNet(num_bins=2)
     carry = model.init_state(1, res[0], res[1])
@@ -75,38 +78,36 @@ def bench_eval_protocol(res, passes, n_events, iters=30, full_vis=True):
         ValConfig(res=res, passes=passes, track_fw_prop=full_vis,
                   track_bw=full_vis),
         1, n_events)
-    # the production path (eval_flow.py): fused forward+update per pass
-    # position (donated carry+state), jitted boundary reset
-    step = make_eval_step(model, val)
+    step = make_eval_window_step(model, val)
     init = jax.jit(val.init)
     reset = jax.jit(val.reset, donate_argnums=(0,))
     vstate = init()
 
     rng = np.random.default_rng(0)
-    ev, pol = _synthetic_events(rng, (1, n_events), res)
-    emask = jnp.ones((1, res[0], res[1], 1), jnp.float32)
+    ev, pol = _synthetic_events(rng, (passes, 1, n_events), res)
+    xs = jnp.zeros((passes, 1, res[0], res[1], 2), jnp.float32)
+    emasks = jnp.ones((passes, 1, res[0], res[1], 1), jnp.float32)
 
-    # warmup / compile all pass positions of one full window
-    for k in range(1, passes + 1):
-        vstate, carry, _ = step(vstate, carry, params, x, ev, pol, emask,
-                                n_active=k)
+    # warmup / compile one full window
+    vstate, carry, _ = step(vstate, carry, params, xs, ev, pol, emasks)
     _sync(vstate.fw_loc)
 
-    # best-of-3 timing loops: the per-pass host dispatch makes this number
-    # sensitive to host CPU contention (measured ±20% on the 1-core host);
-    # the min reflects the device's actual streaming capability
+    # best-of-3 timing loops: host dispatch cost still leaks into the
+    # number under host CPU contention (1-core host); the min reflects the
+    # device's actual streaming capability
+    n_windows = max(1, iters // passes)
     per_pass = float("inf")
     for _ in range(3):
-        vstate = reset(vstate)
         t0 = time.perf_counter()
-        for i in range(iters):
-            k = i % passes
-            if k == 0 and i > 0:
-                vstate = reset(vstate)  # window boundary, like the eval CLI
-            vstate, carry, _ = step(vstate, carry, params, x, ev, pol,
-                                    emask, n_active=k + 1)
+        for _ in range(n_windows):
+            vstate = reset(vstate)  # window boundary, like the eval CLI
+            vstate, carry, _ = step(vstate, carry, params, xs, ev, pol,
+                                    emasks)
         _sync(vstate.fw_loc)
-        per_pass = min(per_pass, (time.perf_counter() - t0) / iters)
+        per_pass = min(
+            per_pass,
+            (time.perf_counter() - t0) / (n_windows * passes),
+        )
     return {
         "pass_ms": round(per_pass * 1e3, 2),
         "gt_frames_per_s": round(1.0 / (passes * per_pass), 2),

@@ -34,7 +34,11 @@ from taming_event_flow_tpu.tracking.loggers import (
     log_config,
     log_results,
 )
-from taming_event_flow_tpu.training import make_eval_step, make_forward_fn
+from taming_event_flow_tpu.training import (
+    make_eval_step,
+    make_eval_window_step,
+    make_forward_fn,
+)
 from taming_event_flow_tpu.training.window import pad_batch_events
 from taming_event_flow_tpu.utils import Visualization
 
@@ -135,6 +139,7 @@ def test(args, config_parser: YAMLParser):
         from taming_event_flow_tpu.parallel.eval import (
             make_eval_mesh,
             shard_eval_batch,
+            shard_eval_window,
             shard_val_state,
         )
 
@@ -172,6 +177,35 @@ def test(args, config_parser: YAMLParser):
 
     _eval_step = [_make_step()]
 
+    # ---- windowed fast path: recorded protocols whose displayed/stored
+    # quantities are all window-level (e.g. the DSEC submission config,
+    # flow_bw only) run ONE jitted program per GT window — P fused pass
+    # bodies unrolled, bit-identical to the per-pass chain, with P x fewer
+    # host dispatches (training.make_eval_window_step). Any per-pass
+    # quantity (live display, per-pass flow/iwe/events images, dynamic
+    # window vis) keeps the per-pass path.
+    _dyn_keys = ("events_dynamic", "iwe_fw_dynamic", "iwe_bw_dynamic",
+                 "flow_dynamic")
+    per_pass_vis = (
+        want_vis("events") or want_vis("flow") or want_vis("iwe")
+        or (passes > 1 and bool(config["vis"].get("dynamic"))
+            and any(want_vis(k) for k in _dyn_keys))
+    )
+    windowed = (passes > 1 and not per_pass_vis
+                and not config["vis"].get("enabled"))
+
+    def _make_window_step():
+        if not windowed:
+            return None
+        return make_eval_window_step(model, criteria, flow_scaling,
+                                     inference_dtype=inference_dtype)
+
+    _window_step = [_make_window_step()]
+    wbuf = []  # buffered batches of the in-flight window (windowed mode)
+
+    if windowed:
+        print(f"Windowed eval: 1 dispatch per {passes}-pass GT window")
+
     # window-boundary metric reducers: jitted; under the event-sharded mesh
     # they run per shard via shard_map (local splats — Pallas included —
     # with exact psum merges; parallel/eval.make_sharded_reducers)
@@ -191,6 +225,39 @@ def test(args, config_parser: YAMLParser):
     _reducers = [_make_reducers()]
 
     passes_done = 0  # host-side mirror of vstate.pass_idx (avoids syncs)
+
+    def run_pass(b):
+        """One fused forward+update dispatch (the per-pass path)."""
+        nonlocal vstate, carry, passes_done
+        ev_in = jnp.asarray(b["event_list"])
+        pol_in = jnp.asarray(b["event_list_pol_mask"])
+        if eval_mesh is not None:
+            ev_in, pol_in = shard_eval_batch(ev_in, pol_in, eval_mesh)
+        vstate, carry, flow_fine = _eval_step[0](
+            vstate, carry, params, jnp.asarray(b["net_input"]),
+            ev_in, pol_in, jnp.asarray(b["event_mask"]),
+            n_active=passes_done + 1,
+        )
+        passes_done += 1
+        return flow_fine
+
+    def run_window():
+        """Dispatch the buffered GT window as one jitted program."""
+        nonlocal vstate, carry, passes_done
+        xs = jnp.asarray(np.stack([b["net_input"] for b in wbuf]))
+        evs = np.stack([b["event_list"] for b in wbuf])
+        pols = np.stack([b["event_list_pol_mask"] for b in wbuf])
+        emasks = jnp.asarray(np.stack([b["event_mask"] for b in wbuf]))
+        if eval_mesh is not None:
+            evs, pols = shard_eval_window(evs, pols, eval_mesh)
+        else:
+            evs, pols = jnp.asarray(evs), jnp.asarray(pols)
+        vstate, carry, flow_fine = _window_step[0](
+            vstate, carry, params, xs, evs, pols, emasks
+        )
+        passes_done = passes
+        wbuf.clear()
+        return flow_fine
 
     from taming_event_flow_tpu.utils import ProgressBar
 
@@ -216,9 +283,19 @@ def test(args, config_parser: YAMLParser):
             carry = model.init_state(1, res[0], res[1])
             vstate = fresh_state(vstate)
             passes_done = 0
+            # buffered passes of the old sequence never reached a window
+            # boundary: the per-pass path would discard their updates at
+            # this same reset, so drop them unprocessed
+            wbuf.clear()
 
         if config["data"]["mode"] == "gtflow" and batch["ts_jump_reset"].any():
             data.clear_ts_jump()
+            # mid-window ts jump: buffered passes must land BEFORE the
+            # carry reset (the validation window continues across the
+            # jump); the window's remaining passes then run per-pass
+            for b in list(wbuf):
+                run_pass(b)
+            wbuf.clear()
             carry = model.init_state(1, res[0], res[1])
 
         if data.seq_num >= len(data.files):
@@ -241,23 +318,22 @@ def test(args, config_parser: YAMLParser):
             criteria = val_cls(val_cfg, 1, n_batch)
             vstate = grow_val_state(vstate, n_batch)
             _eval_step[0] = _make_step()
+            _window_step[0] = _make_window_step()
             _reducers[0] = _make_reducers()
             _init_jit[0] = jax.jit(criteria.init)
             _reset_jit[0] = jax.jit(criteria.reset, donate_argnums=(0,))
+            wbuf[:] = [pad_batch_events(b, n_batch) for b in wbuf]
         elif n_batch < criteria.n_events:
             batch = pad_batch_events(batch, criteria.n_events)
 
-        x = jnp.asarray(batch["net_input"])
-        ev_in = jnp.asarray(batch["event_list"])
-        pol_in = jnp.asarray(batch["event_list_pol_mask"])
-        if eval_mesh is not None:
-            ev_in, pol_in = shard_eval_batch(ev_in, pol_in, eval_mesh)
-        vstate, carry, flow_fine = _eval_step[0](
-            vstate, carry, params, x, ev_in, pol_in,
-            jnp.asarray(batch["event_mask"]),
-            n_active=passes_done + 1,
-        )
-        passes_done += 1
+        if windowed and passes_done == 0:
+            # buffer until the GT window is complete, then dispatch once
+            wbuf.append(batch)
+            flow_fine = None
+            if len(wbuf) == passes:
+                flow_fine = run_window()
+        else:
+            flow_fine = run_pass(batch)
 
         flow_vis = None
         if want_vis("flow") or want_vis("iwe"):

@@ -3,6 +3,7 @@ from .eval import (
     EVAL_EVENT_AXIS,
     make_eval_mesh,
     shard_eval_batch,
+    shard_eval_window,
     shard_val_state,
 )
 from .event import (
@@ -25,6 +26,7 @@ __all__ = [
     "EVAL_EVENT_AXIS",
     "make_eval_mesh",
     "shard_eval_batch",
+    "shard_eval_window",
     "shard_val_state",
     "EVENT_AXIS",
     "make_event_mesh",

@@ -73,6 +73,13 @@ def shard_eval_batch(event_list, pol_mask, mesh: Mesh):
     return jax.device_put(event_list, sh), jax.device_put(pol_mask, sh)
 
 
+def shard_eval_window(event_lists, pol_masks, mesh: Mesh):
+    """Place pass-stacked event inputs (``[P, B, N, ...]``) sharded on N
+    (the windowed eval path, ``training.make_eval_window_step``)."""
+    sh = NamedSharding(mesh, P(None, None, EVAL_EVENT_AXIS))
+    return jax.device_put(event_lists, sh), jax.device_put(pol_masks, sh)
+
+
 def _state_specs(state) -> "object":
     """Per-field PartitionSpecs for a ``ValState`` under the event mesh."""
     return type(state)(**{

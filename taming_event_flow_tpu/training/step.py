@@ -166,6 +166,54 @@ def make_eval_step(model, val, flow_scaling: float = 32.0,
     return step
 
 
+def make_eval_window_step(model, val, flow_scaling: float = 32.0,
+                          inference_dtype=None) -> Callable:
+    """Whole-window inference: ALL P fused (forward + update) pass bodies
+    of :func:`make_eval_step`, python-unrolled inside ONE jitted program.
+
+    Per-pass dispatch makes eval latency hostage to host CPU contention
+    (measured ±20% pass-to-pass jitter on a busy 1-core host); recorded
+    protocols (DSEC/MVSEC gtflow windows) have every pass of a GT window
+    available up front, so one dispatch per window amortizes that host
+    cost P×. The unrolled bodies keep the SAME static ``n_active`` slot
+    slicing as the per-pass specializations — device work is identical,
+    and the result is bit-identical to P sequential ``make_eval_step``
+    calls (tested, ``tests/test_training.py``).
+
+    Returned signature (``vstate`` must be fresh — ``pass_idx == 0``)::
+
+        vstate, carry, flow_fine_last = window(vstate, carry, params,
+                                               xs, evs, pols, emasks)
+
+    with pass-stacked inputs ``xs [P,B,H,W,C]``, ``evs [P,B,N,4]``,
+    ``pols [P,B,N,2]``, ``emasks [P,B,H,W,1]``. ``flow_fine_last`` is the
+    final pass's finest-scale flow (f32, flow_scaling'd).
+
+    :param inference_dtype: same contract as :func:`make_eval_step`.
+    """
+    passes = val.cfg.passes
+
+    def window(vstate, carry, params, xs, evs, pols, emasks):
+        if inference_dtype is not None:
+            params = jax.tree.map(
+                lambda p: p.astype(inference_dtype), params
+            )
+        flow_fine = None
+        for k in range(passes):
+            x, c = xs[k], carry
+            if inference_dtype is not None:
+                x = x.astype(inference_dtype)
+                c = jax.tree.map(lambda t: t.astype(inference_dtype), c)
+            flows, carry = model.apply({"params": params}, x, c,
+                                       train=False)
+            flow_fine = flows[-1].astype(jnp.float32) * flow_scaling
+            vstate = val.update(vstate, flow_fine, evs[k], pols[k],
+                                emasks[k], n_active=k + 1)
+        return vstate, carry, flow_fine
+
+    return jax.jit(window, donate_argnums=(0, 1))
+
+
 @jax.jit
 def reset_carry(carry, reset_mask):
     """Zero the recurrent state of flagged batch lanes.

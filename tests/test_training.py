@@ -102,6 +102,62 @@ def test_carry_detaches_and_resets(setup, rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.parametrize("full_vis,dtype", [
+    (True, None),
+    (False, None),
+    (False, jnp.bfloat16),
+])
+def test_eval_window_step_matches_sequential(rng, full_vis, dtype):
+    """One whole-window dispatch == P sequential fused eval steps, leaf for
+    leaf (same unrolled pass bodies, same static slot slicing)."""
+    from taming_event_flow_tpu.metrics import IterativeValidation, ValConfig
+    from taming_event_flow_tpu.training import (
+        make_eval_step,
+        make_eval_window_step,
+    )
+
+    model = tiny_model()
+    val = IterativeValidation(
+        ValConfig(res=RES, passes=P_PASSES, track_fw_prop=full_vis,
+                  track_bw=full_vis),
+        1, N)
+    x0 = jnp.zeros((1, RES[0], RES[1], 2))
+    carry0 = model.init_state(1, RES[0], RES[1])
+    params = model.init(jax.random.PRNGKey(0), x0, carry0)["params"]
+
+    w = make_window(rng, 1)
+    xs = jnp.asarray(w["net_input"])
+    evs = jnp.asarray(w["event_list"])
+    pols = jnp.asarray(w["pol_mask"])
+    emasks = jnp.asarray(
+        (np.asarray(w["net_input"]).sum(-1, keepdims=True) > 0)
+        .astype(np.float32)
+    )
+
+    step = make_eval_step(model, val, flow_scaling=4.0,
+                          inference_dtype=dtype)
+    vs_seq = jax.jit(val.init)()
+    carry_seq = model.init_state(1, RES[0], RES[1])
+    for k in range(P_PASSES):
+        vs_seq, carry_seq, flow_seq = step(
+            vs_seq, carry_seq, params, xs[k], evs[k], pols[k], emasks[k],
+            n_active=k + 1,
+        )
+
+    window_step = make_eval_window_step(model, val, flow_scaling=4.0,
+                                        inference_dtype=dtype)
+    vs_win, carry_win, flow_win = window_step(
+        jax.jit(val.init)(), model.init_state(1, RES[0], RES[1]), params,
+        xs, evs, pols, emasks,
+    )
+
+    for a, b in zip(jax.tree.leaves(vs_seq), jax.tree.leaves(vs_win)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(carry_seq), jax.tree.leaves(carry_win)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(flow_seq), np.asarray(flow_win))
+
+
 def test_data_parallel_mesh_matches_single_device(rng):
     """B=8 window on an 8-device mesh == single-device result (fp tolerance)."""
     batch = 8
