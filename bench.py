@@ -54,7 +54,8 @@ def bench_eval_protocol(res, passes, n_events, iters=30, full_vis=True):
     """Model forward + Iterative validation update at an eval protocol's
     shapes, one jitted program per GT WINDOW (``make_eval_window_step`` —
     the eval CLI's recorded-protocol path: all P pass bodies unrolled in a
-    single dispatch, window-boundary reset donated). Covers both DSEC
+    single dispatch, window-boundary reset folded into the program via
+    ``reset_first`` — one dispatch per window TOTAL). Covers both DSEC
     (480x640, 10 passes) and MVSEC (260x346, 1 pass). Reports per-pass
     latency and GT-frames/s.
 
@@ -78,9 +79,8 @@ def bench_eval_protocol(res, passes, n_events, iters=30, full_vis=True):
         ValConfig(res=res, passes=passes, track_fw_prop=full_vis,
                   track_bw=full_vis),
         1, n_events)
-    step = make_eval_window_step(model, val)
+    step = make_eval_window_step(model, val, reset_first=True)
     init = jax.jit(val.init)
-    reset = jax.jit(val.reset, donate_argnums=(0,))
     vstate = init()
 
     rng = np.random.default_rng(0)
@@ -100,7 +100,7 @@ def bench_eval_protocol(res, passes, n_events, iters=30, full_vis=True):
     for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(n_windows):
-            vstate = reset(vstate)  # window boundary, like the eval CLI
+            # window boundary: the program resets the stale state itself
             vstate, carry, _ = step(vstate, carry, params, xs, ev, pol,
                                     emasks)
         _sync(vstate.fw_loc)

@@ -197,11 +197,15 @@ def test(args, config_parser: YAMLParser):
     def _make_window_step():
         if not windowed:
             return None
+        # reset_first: the boundary reset folds into the window program
+        # (stale state in, fresh window out — one dispatch per window total)
         return make_eval_window_step(model, criteria, flow_scaling,
-                                     inference_dtype=inference_dtype)
+                                     inference_dtype=inference_dtype,
+                                     reset_first=True)
 
     _window_step = [_make_window_step()]
     wbuf = []  # buffered batches of the in-flight window (windowed mode)
+    vstate_stale = False  # True: last window's state awaits its in-program reset
 
     if windowed:
         print(f"Windowed eval: 1 dispatch per {passes}-pass GT window")
@@ -228,7 +232,10 @@ def test(args, config_parser: YAMLParser):
 
     def run_pass(b):
         """One fused forward+update dispatch (the per-pass path)."""
-        nonlocal vstate, carry, passes_done
+        nonlocal vstate, carry, passes_done, vstate_stale
+        if vstate_stale:
+            vstate = fresh_state(vstate)
+            vstate_stale = False
         ev_in = jnp.asarray(b["event_list"])
         pol_in = jnp.asarray(b["event_list_pol_mask"])
         if eval_mesh is not None:
@@ -242,8 +249,10 @@ def test(args, config_parser: YAMLParser):
         return flow_fine
 
     def run_window():
-        """Dispatch the buffered GT window as one jitted program."""
-        nonlocal vstate, carry, passes_done
+        """Dispatch the buffered GT window as one jitted program (the
+        program resets the stale slot state itself — ``reset_first``)."""
+        nonlocal vstate, carry, passes_done, vstate_stale
+        vstate_stale = False
         xs = jnp.asarray(np.stack([b["net_input"] for b in wbuf]))
         evs = np.stack([b["event_list"] for b in wbuf])
         pols = np.stack([b["event_list_pol_mask"] for b in wbuf])
@@ -281,7 +290,10 @@ def test(args, config_parser: YAMLParser):
                     data.seq_name, max=data.get_iters(data.lanes[0])
                 )
             carry = model.init_state(1, res[0], res[1])
-            vstate = fresh_state(vstate)
+            if windowed:
+                vstate_stale = True  # next window's program resets it
+            else:
+                vstate = fresh_state(vstate)
             passes_done = 0
             # buffered passes of the old sequence never reached a window
             # boundary: the per-pass path would discard their updates at
@@ -425,7 +437,10 @@ def test(args, config_parser: YAMLParser):
                         )
                         val_results[sequence][metric]["it"] += 1
 
-            vstate = fresh_state(vstate)
+            if windowed:
+                vstate_stale = True  # next window's program resets it
+            else:
+                vstate = fresh_state(vstate)
             passes_done = 0
 
         if config["vis"].get("enabled") or config["vis"].get("store"):

@@ -167,7 +167,8 @@ def make_eval_step(model, val, flow_scaling: float = 32.0,
 
 
 def make_eval_window_step(model, val, flow_scaling: float = 32.0,
-                          inference_dtype=None) -> Callable:
+                          inference_dtype=None,
+                          reset_first: bool = False) -> Callable:
     """Whole-window inference: ALL P fused (forward + update) pass bodies
     of :func:`make_eval_step`, python-unrolled inside ONE jitted program.
 
@@ -190,10 +191,17 @@ def make_eval_window_step(model, val, flow_scaling: float = 32.0,
     final pass's finest-scale flow (f32, flow_scaling'd).
 
     :param inference_dtype: same contract as :func:`make_eval_step`.
+    :param reset_first: fold the window-boundary state reset into the
+        program (``vstate`` may then be the PREVIOUS window's stale state).
+        Saves the separate reset dispatch, and XLA dead-code-eliminates
+        the zeroing of every slot buffer the window fully overwrites.
+        Idempotent on an already-fresh state.
     """
     passes = val.cfg.passes
 
     def window(vstate, carry, params, xs, evs, pols, emasks):
+        if reset_first:
+            vstate = val.reset(vstate)
         if inference_dtype is not None:
             params = jax.tree.map(
                 lambda p: p.astype(inference_dtype), params

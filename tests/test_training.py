@@ -157,6 +157,21 @@ def test_eval_window_step_matches_sequential(rng, full_vis, dtype):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     np.testing.assert_array_equal(np.asarray(flow_seq), np.asarray(flow_win))
 
+    # reset_first: dispatching the SAME window on the previous window's
+    # STALE state (in-program reset) must reproduce the fresh-state result
+    window_step_rf = make_eval_window_step(model, val, flow_scaling=4.0,
+                                           inference_dtype=dtype,
+                                           reset_first=True)
+    vs_rf, carry_rf, flow_rf = window_step_rf(
+        vs_win, model.init_state(1, RES[0], RES[1]), params,
+        xs, evs, pols, emasks,
+    )
+    for a, b in zip(jax.tree.leaves(vs_seq), jax.tree.leaves(vs_rf)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(carry_seq), jax.tree.leaves(carry_rf)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(flow_seq), np.asarray(flow_rf))
+
 
 def test_data_parallel_mesh_matches_single_device(rng):
     """B=8 window on an 8-device mesh == single-device result (fp tolerance)."""
