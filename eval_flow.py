@@ -15,6 +15,7 @@ averages as ``metrics_<id>.yml`` plus rendered/encoded imagery.
 """
 
 import argparse
+from functools import partial
 
 import numpy as np
 
@@ -37,7 +38,6 @@ from taming_event_flow_tpu.tracking.loggers import (
 from taming_event_flow_tpu.training import (
     make_eval_step,
     make_eval_window_step,
-    make_forward_fn,
 )
 from taming_event_flow_tpu.training.window import pad_batch_events
 from taming_event_flow_tpu.utils import Visualization
@@ -224,6 +224,12 @@ def test(args, config_parser: YAMLParser):
             "fwl": jax.jit(criteria.fwl),
             "rsat": jax.jit(criteria.rsat),
             "window_events": jax.jit(criteria.window_events),
+            "window_iwe_fw": jax.jit(
+                partial(criteria.window_iwe, mode="forward")
+            ),
+            "window_iwe_bw": jax.jit(
+                partial(criteria.window_iwe, mode="backward")
+            ),
         }
 
     _reducers = [_make_reducers()]
@@ -364,29 +370,33 @@ def test(args, config_parser: YAMLParser):
 
         if vis_on:
             num = passes_done
+            # event-dim accessors go through _reducers (shard_map on the
+            # sharded path — raw criteria calls would splat sharded
+            # buffers); window_flow reads only replicated pixel-space
+            # accumulators and is safe raw
             if passes > 1 and config["vis"].get("dynamic"):
                 if want_vis("events_dynamic"):
                     vis.data["events_dynamic"] = np.asarray(
-                        criteria.window_events(vstate))
+                        _reducers[0]["window_events"](vstate))
                 if want_vis("iwe_fw_dynamic"):
                     vis.data["iwe_fw_dynamic"] = np.asarray(
-                        criteria.window_iwe(vstate, mode="forward"))
+                        _reducers[0]["window_iwe_fw"](vstate))
                 if want_vis("iwe_bw_dynamic"):
                     vis.data["iwe_bw_dynamic"] = np.asarray(
-                        criteria.window_iwe(vstate, mode="backward"))
+                        _reducers[0]["window_iwe_bw"](vstate))
                 if want_vis("flow_dynamic"):
                     vis.data["flow_dynamic"] = np.asarray(
                         criteria.window_flow(vstate, mode="forward"))
             if num > 1 and num == passes:
                 if want_vis("events_window"):
                     vis.data["events_window"] = np.asarray(
-                        criteria.window_events(vstate))
+                        _reducers[0]["window_events"](vstate))
                 if want_vis("iwe_fw_window"):
                     vis.data["iwe_fw_window"] = np.asarray(
-                        criteria.window_iwe(vstate, mode="forward"))
+                        _reducers[0]["window_iwe_fw"](vstate))
                 if want_vis("iwe_bw_window"):
                     vis.data["iwe_bw_window"] = np.asarray(
-                        criteria.window_iwe(vstate, mode="backward"))
+                        _reducers[0]["window_iwe_bw"](vstate))
                 if want_vis("flow_window"):
                     vis.data["flow_window"] = np.asarray(
                         criteria.window_flow(vstate, mode="forward"))

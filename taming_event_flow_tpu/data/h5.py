@@ -108,12 +108,23 @@ class _Lane:
 
 class H5Loader(BaseStreamLoader):
     def __init__(self, config: Dict, shuffle: bool = False,
-                 path_cache: str = "", lane_offset: int = 0):
+                 path_cache: str = "", lane_offset: int = 0,
+                 file_shard: Optional[Tuple[int, int]] = None):
         """``lane_offset`` maps this loader's lanes onto GLOBAL lane ids
         ``[offset, offset + batch_size)`` — the multi-host partitioning hook
         (``parallel/multihost.local_lane_range``): each process streams only
-        its own slice of the global batch, with the same (seeded) file
-        permutation on every host so lane -> file assignment is consistent.
+        its own slice of the global batch.
+
+        ``file_shard=(shard_idx, n_shards)`` additionally partitions the
+        FILE list round-robin across hosts (after the seeded permutation,
+        which is identical on every host, so the shards are disjoint and
+        cover the dataset). Without it, each host's sequence rollover —
+        ``max(local file_idx) + 1`` — would collide with files other hosts
+        are already streaming, silently duplicating data; with it, rollover
+        and the epoch boundary (``seq_num >= len(files)``) stay host-local
+        and one global epoch is exactly one pass over the dataset. The
+        per-host augmentation rng is re-derived from ``(seed, shard_idx)``
+        so lanes on different hosts draw independent flags.
         """
         super().__init__(config)
         self.lane_offset = lane_offset
@@ -134,6 +145,30 @@ class H5Loader(BaseStreamLoader):
         if shuffle:
             perm = self.rng.permutation(len(self.files))
             self.files = [self.files[i] for i in perm]
+        if file_shard is not None:
+            shard, n_shards = file_shard
+            if config["loader"].get("seed") is None:
+                raise ValueError(
+                    "file_shard needs loader.seed: the (identical) seeded "
+                    "file permutation is what makes the host shards disjoint"
+                )
+            if len(self.files) < n_shards:
+                raise ValueError(
+                    f"{len(self.files)} h5 files cannot be partitioned "
+                    f"across {n_shards} hosts (need >= 1 file per host)"
+                )
+            self.files = self.files[shard::n_shards]
+            # decorrelate augmentation draws across hosts (the permutation
+            # above consumed an identical rng prefix on every host); NOT
+            # reroll_augmentation — that would advance seq_num
+            self.rng = np.random.default_rng(
+                (config["loader"].get("seed"), shard)
+            )
+            for i, m in enumerate(self.augment):
+                for lane in range(self.batch_size):
+                    self.batch_augmentation[m][lane] = (
+                        self.rng.random() < self.augment_prob[i]
+                    )
 
         self.cache = None
         if config["data"].get("cache"):
@@ -141,7 +176,7 @@ class H5Loader(BaseStreamLoader):
 
         self.lanes = [_Lane() for _ in range(self.batch_size)]
         for i, lane in enumerate(self.lanes):
-            lane.file_idx = lane_offset + i
+            lane.file_idx = i if file_shard is not None else lane_offset + i
             self._open(lane)
 
     # ----------------------------------------------------------- file mgmt

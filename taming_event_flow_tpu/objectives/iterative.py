@@ -207,7 +207,7 @@ def _sweep_batched(tbl_loc, tbl_mask, ts, shared_mask, low_pass, high_pass,
 
 
 def warp_table_triangular(flow_maps, event_loc, event_ts, pol_mask, res,
-                          grad_mask=None):
+                          grad_mask=None, remat=False):
     """:func:`warp_table` with the wasted half of the work removed.
 
     The scan formulation warps ALL P windows at every timeline step and
@@ -221,7 +221,10 @@ def warp_table_triangular(flow_maps, event_loc, event_ts, pol_mask, res,
     bw[tref :])`` — so the stacked table assembles with no padding and is
     numerically identical to the scan version (pinned by tests).
 
-    Same contract as :func:`warp_table`.
+    Same contract as :func:`warp_table`; ``remat`` rematerializes each
+    timeline step's sample+propagate+purge on the backward pass (the
+    ``LossConfig.warp_remat`` knob — off by default, since the saved
+    custom-VJP residuals beat recompute on the measured configs).
     """
     p = flow_maps.shape[0]
 
@@ -233,6 +236,13 @@ def warp_table_triangular(flow_maps, event_loc, event_ts, pol_mask, res,
     def sg(x):
         return jax.lax.stop_gradient(x)
 
+    def _step(flow_map, loc, ts, mask, tref):
+        flow = _sample_all(flow_map, loc)
+        prop = loc + (tref - ts) * flow
+        return _purge(prop, mask, res)
+
+    step = jax.checkpoint(_step, static_argnums=(4,)) if remat else _step
+
     # ---- forward: windows join at their own pass and ride to the end
     fw_tab = []  # fw_tab[τ] = (loc, mask) of windows [0 : τ+1] at tref τ+1
     cur_loc = event_loc[0:1]
@@ -243,9 +253,8 @@ def warp_table_triangular(flow_maps, event_loc, event_ts, pol_mask, res,
             cur_loc = jnp.concatenate([cur_loc, event_loc[tau:tau + 1]])
             cur_ts = jnp.concatenate([cur_ts, event_ts[tau:tau + 1]])
             cur_mask = jnp.concatenate([cur_mask, pol_mask[tau:tau + 1]])
-        flow = _sample_all(flow_maps[tau], cur_loc)
-        prop = cur_loc + (tau + 1.0 - cur_ts) * flow
-        prop, cur_mask = _purge(prop, cur_mask, res)
+        prop, cur_mask = step(flow_maps[tau], cur_loc, cur_ts, cur_mask,
+                              tau + 1.0)
         cur_mask = sg(cur_mask)
         gm = None if grad_mask is None else grad_mask[: tau + 1]
         fw_tab.append((gate(prop, gm), cur_mask))
@@ -262,9 +271,8 @@ def warp_table_triangular(flow_maps, event_loc, event_ts, pol_mask, res,
             cur_loc = jnp.concatenate([event_loc[tau:tau + 1], cur_loc])
             cur_ts = jnp.concatenate([event_ts[tau:tau + 1], cur_ts])
             cur_mask = jnp.concatenate([pol_mask[tau:tau + 1], cur_mask])
-        flow = _sample_all(flow_maps[tau], cur_loc)
-        prop = cur_loc + (tau - cur_ts) * flow
-        prop, cur_mask = _purge(prop, cur_mask, res)
+        prop, cur_mask = step(flow_maps[tau], cur_loc, cur_ts, cur_mask,
+                              float(tau))
         cur_mask = sg(cur_mask)
         gm = None if grad_mask is None else grad_mask[tau:]
         bw_tab[tau] = (gate(prop, gm), cur_mask)
@@ -322,6 +330,7 @@ def iterative_loss(flows, event_list, pol_mask, grad_mask, cfg: LossConfig,
         if cfg.triangular_warp:
             tbl_loc, tbl_mask = warp_table_triangular(
                 flow_maps, loc, ts, pol_mask, cfg.res, grad_mask=grad_mask,
+                remat=cfg.warp_remat,
             )
         else:
             tbl_loc, tbl_mask = warp_table(

@@ -41,19 +41,18 @@ def get_warp_backend() -> str:
     return _backend
 
 
-def use_pallas(hw: int, for_gather: bool = False,
-               n_channels: int = 1, n_points: int = 0) -> bool:
-    """Resolve the backend for a map of ``hw`` pixels (trace-time)."""
+def use_pallas(hw: int, n_channels: int = 1, n_points: int = 0) -> bool:
+    """Resolve the SPLAT backend for a map of ``hw`` pixels (trace-time).
+
+    Gathers never consult this: they always use the packed-patch row
+    gather (warp.py) — measured faster than both the dense VMEM-factor
+    kernel and the 4-tap path at every probed point count.
+    """
     if _backend == "pallas":
         return True
     if _backend == "xla":
         return False
     if jax.devices()[0].platform != "tpu":
-        return False
-    if for_gather:
-        # large-map gathers always use the packed-patch row gather
-        # (warp.py) — measured faster than both the dense VMEM-factor
-        # kernel and the 4-tap path at every probed point count
         return False
     # small-map splats: the separable einsum materializes a per-channel
     # [B, M, size] factor product; at C >= 4 (the fused IWE shape) the

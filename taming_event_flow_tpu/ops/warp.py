@@ -235,41 +235,6 @@ def _bilinear_sample_patch(maps, loc):
     return _gather_patch_vjp()(maps, loc)
 
 
-def _bilinear_sample_taps(img, loc):
-    """4-tap gather formulation (XLA fallback for large maps off-TPU)."""
-    h, w = img.shape[1], img.shape[2]
-    y = loc[..., 0]
-    x = loc[..., 1]
-
-    y0 = jnp.floor(y)
-    x0 = jnp.floor(x)
-    y1 = y0 + 1.0
-    x1 = x0 + 1.0
-
-    wy1 = y - y0
-    wy0 = 1.0 - wy1
-    wx1 = x - x0
-    wx0 = 1.0 - wx1
-
-    img_flat = img.reshape(img.shape[0], h * w)
-
-    def tap(yy, xx, ww):
-        valid = (yy >= 0) & (yy <= h - 1) & (xx >= 0) & (xx <= w - 1)
-        yi = jnp.clip(yy, 0, h - 1).astype(jnp.int32)
-        xi = jnp.clip(xx, 0, w - 1).astype(jnp.int32)
-        flat = yi * w + xi
-        vals = gather_pixels(img_flat, flat)
-        return vals * ww * valid.astype(img.dtype)
-
-    out = (
-        tap(y0, x0, wy0 * wx0)
-        + tap(y0, x1, wy0 * wx1)
-        + tap(y1, x0, wy1 * wx0)
-        + tap(y1, x1, wy1 * wx1)
-    )
-    return out
-
-
 def get_event_flow(flow_map, event_loc):
     """Sample an optical-flow map at (fractional) event locations.
 

@@ -99,7 +99,13 @@ def make_sharded_reducers(criteria, mesh: Mesh, template_state):
     on LOCAL data and never block GSPMD propagation.
 
     :return: dict with jitted ``fwl(state)``, ``rsat(state)``,
-        ``window_events(state)`` callables.
+        ``window_events(state)``, ``window_iwe_fw(state)``,
+        ``window_iwe_bw(state)`` callables. The vis-facing ``window_iwe``
+        accessors are included because the raw ``criteria`` methods splat
+        the event-dim (sharded) slot buffers — calling them outside
+        ``shard_map`` would put an opaque Pallas splat in GSPMD's way
+        (``window_flow`` reads only replicated pixel-space accumulators and
+        stays safe to call raw).
     """
     from jax import shard_map
 
@@ -120,6 +126,16 @@ def make_sharded_reducers(criteria, mesh: Mesh, template_state):
         "window_events": wrap(
             lambda s: criteria.window_events(
                 s, event_axis=EVAL_EVENT_AXIS
+            )
+        ),
+        "window_iwe_fw": wrap(
+            lambda s: criteria.window_iwe(
+                s, mode="forward", event_axis=EVAL_EVENT_AXIS
+            )
+        ),
+        "window_iwe_bw": wrap(
+            lambda s: criteria.window_iwe(
+                s, mode="backward", event_axis=EVAL_EVENT_AXIS
             )
         ),
     }

@@ -30,7 +30,16 @@ Design:
   :func:`local_lane_range`), and :func:`globalize_window` assembles the
   global ``[P, B_global, ...]`` arrays from per-process local shards via
   ``jax.make_array_from_process_local_data`` — no host ever materializes
-  another host's lanes.
+  another host's lanes. The FILE list is partitioned too
+  (``H5Loader(file_shard=(process_index, process_count))``): each host
+  streams a round-robin shard of the identically-permuted file list, so
+  sequence rollover (``max(local file_idx) + 1``) never collides with
+  another host's files and one global epoch — every host's
+  ``seq_num >= len(local files)``, AND-ed in lockstep — is exactly one
+  pass over the dataset. Static event buckets (``loader.n_events_pad``,
+  enforced by the CLI) keep the per-host program shapes identical; without
+  them each host would bucket to its own local max and the cross-host
+  gradient psum would deadlock on shape-divergent programs.
 
 Tested by ``tests/test_multihost.py``: a real 2-process CPU cluster
 (the ``jax.distributed`` local-cluster analog of the 8-CPU virtual mesh)

@@ -334,3 +334,44 @@ def test_prefetcher_order_and_exceptions():
         raise AssertionError("expected RuntimeError")
     except RuntimeError as e:
         assert "producer died" in str(e)
+
+
+def test_file_shard_partitions_disjointly(tmp_path):
+    """Multi-host file sharding: the host shards are disjoint, cover the
+    dataset, and sequence rollover stays INSIDE the host's shard (without
+    sharding, each host's ``max(local file_idx) + 1`` rollover would
+    collide with files other hosts already stream)."""
+    d = tmp_path / "ds4"
+    d.mkdir()
+    for i in range(4):
+        write_synthetic_h5(str(d / f"s{i}.h5"), n_events=1200, res=RES,
+                           seed=10 + i)
+
+    cfg = make_config(str(d), mode="events", window=400)
+    host0 = H5Loader(cfg, shuffle=True, file_shard=(0, 2))
+    host1 = H5Loader(cfg, shuffle=True, file_shard=(1, 2))
+
+    f0, f1 = set(host0.files), set(host1.files)
+    assert not (f0 & f1)
+    assert len(f0 | f1) == 4
+    # identical seeded permutation on both hosts -> complementary shards
+    single = H5Loader(cfg, shuffle=True)
+    assert sorted(f0 | f1) == sorted(single.files)
+
+    # rollover walks only the local shard
+    for _ in range(6):
+        host0._restart_lane(0)
+        assert host0.lanes[0].path in f0
+    # epoch accounting is host-local: one epoch = one pass over the shard
+    assert len(host0.files) == 2 and host0.seq_num == 6
+
+
+def test_file_shard_requires_seed_and_enough_files(tmp_path):
+    d = tmp_path / "ds1"
+    d.mkdir()
+    write_synthetic_h5(str(d / "only.h5"), n_events=1200, res=RES, seed=3)
+    with pytest.raises(ValueError, match="seed"):
+        H5Loader(make_config(str(d), seed=None), shuffle=True,
+                 file_shard=(0, 2))
+    with pytest.raises(ValueError, match="partitioned"):
+        H5Loader(make_config(str(d)), shuffle=True, file_shard=(0, 2))

@@ -41,13 +41,18 @@ def loss_and_grad(flows, events, pol, grad_mask, **kw):
     return jax.value_and_grad(f)(flows)
 
 
+@pytest.mark.parametrize("triangular", [True, False])
 @pytest.mark.parametrize("remat", [True, False])
 @pytest.mark.parametrize("unroll", [1, 2])
-def test_remat_unroll_equivalence(rng, remat, unroll):
+def test_remat_unroll_equivalence(rng, remat, unroll, triangular):
+    """warp_remat / scan_unroll leave loss AND grads unchanged on BOTH
+    warp-table formulations (remat is jax.checkpoint per timeline step in
+    the triangular path, per scan step in the lax.scan path)."""
     flows, events, pol, grad_mask = make_inputs(rng)
     base_v, base_g = loss_and_grad(flows, events, pol, grad_mask)
     v, g = loss_and_grad(
-        flows, events, pol, grad_mask, warp_remat=remat, scan_unroll=unroll
+        flows, events, pol, grad_mask, warp_remat=remat, scan_unroll=unroll,
+        triangular_warp=triangular,
     )
     assert np.isfinite(float(v))
     np.testing.assert_allclose(float(v), float(base_v), rtol=1e-6)

@@ -207,7 +207,10 @@ def test_train_cli_two_hosts_matches_single(tmp_path):
         "optimizer": {"name": "Adam", "lr": 0.0001},
         "loader": {"n_epochs": 1, "batch_size": 2, "resolution": [16, 16],
                    "augment": [], "augment_prob": [],
-                   "max_num_grad_events": None, "seed": 7},
+                   "max_num_grad_events": None, "seed": 7,
+                   # required in multihost mode: static event buckets keep
+                   # the per-host program shapes identical (train_flow.py)
+                   "n_events_pad": 1024},
         "vis": {"verbose": False, "enabled": False, "store": False},
     }
     cfg_path = tmp_path / "train.yml"

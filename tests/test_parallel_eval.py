@@ -108,5 +108,16 @@ def test_sharded_reducers_match_unsharded_all_backends(rng):
                 np.asarray(jax.jit(val.window_events)(ref)),
                 rtol=1e-5, atol=1e-6, err_msg=f"window_events {backend}",
             )
+            # vis-facing accessors (they splat the sharded event buffers,
+            # so eval_flow routes them through the shard_map reducers too)
+            for key, mode in (("window_iwe_fw", "forward"),
+                              ("window_iwe_bw", "backward")):
+                np.testing.assert_allclose(
+                    np.asarray(red[key](sh)),
+                    np.asarray(jax.jit(
+                        lambda s, m=mode: val.window_iwe(s, mode=m)
+                    )(ref)),
+                    rtol=1e-5, atol=1e-6, err_msg=f"{key} {backend}",
+                )
     finally:
         set_warp_backend("auto")

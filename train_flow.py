@@ -93,10 +93,12 @@ def train(args, config_parser: YAMLParser):
     num_bins = 2 if config["data"]["voxel"] is None else config["data"]["voxel"]
 
     # multi-host: every process streams only its own slice of the global
-    # batch lanes; the seeded file permutation keeps lane -> file assignment
-    # consistent across hosts
+    # batch lanes AND its own round-robin shard of the (identically
+    # permuted) file list — host-local rollover/epoch accounting with
+    # disjoint coverage (data/h5.py H5Loader docstring)
     local_batch = batch_size
     lane_lo = 0
+    file_shard = None
     if multihost:
         from taming_event_flow_tpu.parallel import local_lane_range
 
@@ -105,12 +107,20 @@ def train(args, config_parser: YAMLParser):
                 "multi-host training needs loader.seed so every host sees "
                 "the same file permutation"
             )
+        if not config["loader"].get("n_events_pad"):
+            raise ValueError(
+                "multi-host training needs loader.n_events_pad: without a "
+                "static event cap each host buckets its windows to its own "
+                "local max (data/base.py collate), the per-host program "
+                "shapes diverge, and the cross-host gradient psum deadlocks"
+            )
         lane_lo, lane_hi = local_lane_range(batch_size)
         local_batch = lane_hi - lane_lo
         config["loader"] = dict(config["loader"], batch_size=local_batch)
+        file_shard = (jax.process_index(), jax.process_count())
 
     data = H5Loader(config, shuffle=True, path_cache=args.path_cache,
-                    lane_offset=lane_lo)
+                    lane_offset=lane_lo, file_shard=file_shard)
 
     from taming_event_flow_tpu.ops.precision import set_matmul_precision
 
@@ -128,7 +138,7 @@ def train(args, config_parser: YAMLParser):
         round_ts=config["loss"].get("round_ts", False),
         flow_spat_smooth_weight=config["loss"].get("flow_spat_smooth_weight"),
         flow_temp_smooth_weight=config["loss"].get("flow_temp_smooth_weight"),
-        warp_remat=bool(config["loss"].get("warp_remat", True)),
+        warp_remat=bool(config["loss"].get("warp_remat", False)),
         scan_unroll=int(config["loss"].get("scan_unroll", 1)),
         batched_sweep=bool(config["loss"].get("batched_sweep", False)),
         triangular_warp=bool(config["loss"].get("triangular_warp", True)),
@@ -186,6 +196,11 @@ def train(args, config_parser: YAMLParser):
         if batch_size % n_data:
             raise ValueError(
                 f"batch_size {batch_size} not divisible by data axis {n_data}"
+            )
+        n_pad = config["loader"]["n_events_pad"]  # required above
+        if n_event > 1 and n_pad % n_event:
+            raise ValueError(
+                f"n_events_pad {n_pad} not divisible by event axis {n_event}"
             )
         state = globalize_state(state, event_mesh, batch_size)
         print(
