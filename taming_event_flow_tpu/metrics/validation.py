@@ -22,7 +22,9 @@ from ..ops import (
     event_propagation,
     get_event_flow,
     iwe_from_events,
+    purge_unfeasible,
 )
+from ..ops.warp import inside_mask
 
 
 class ValConfig(NamedTuple):
@@ -43,14 +45,8 @@ class ValConfig(NamedTuple):
     track_bw: bool = True
 
 
-def _purge(loc, mask, res):
-    inside = (
-        (loc[..., 0:1] >= 0)
-        & (loc[..., 0:1] <= res[0] - 1.0)
-        & (loc[..., 1:2] >= 0)
-        & (loc[..., 1:2] <= res[1] - 1.0)
-    ).astype(loc.dtype)
-    return loc * inside, mask * inside
+# the shared in-frame purge (ops/warp.py) — one boundary rule everywhere
+_purge = purge_unfeasible
 
 
 def _grid(res, dtype=jnp.float32):
@@ -203,6 +199,10 @@ class IterativeValidation:
 
         ts = event_list[..., 0:1] + pf
         if cfg.round_ts:
+            # unmasked min is exact: the loader normalizes ts so the first
+            # real event is exactly 0 (data/base.py:146-147, mirroring the
+            # reference), which equals the padding rows' ts — and unlike a
+            # masked min it stays finite on empty windows
             ts = jnp.broadcast_to(jnp.min(ts) + 0.5, ts.shape)
         loc = event_list[..., 1:3]
 
@@ -281,12 +281,7 @@ class IterativeValidation:
         # gather above
         b = flow.shape[0]
         indices = state.warp_indices  # [B, H, W, 2] (y, x)
-        mask_valid = (
-            (indices[..., 0:1] >= 0)
-            & (indices[..., 0:1] <= h - 1.0)
-            & (indices[..., 1:2] >= 0)
-            & (indices[..., 1:2] <= w - 1.0)
-        ).astype(jnp.float32)
+        mask_valid = inside_mask(indices, (h, w))
         out_mask = state.out_mask + mask_valid
 
         curr = grid_flow.reshape(b, h, w, 2)  # (y, x) per px
@@ -318,14 +313,7 @@ class IterativeValidation:
             bflow = get_event_flow(fmap, bl[0])
             tau_f = tau.astype(jnp.float32)
             nl = bl[0] + (tau_f - bts[0]) * bflow
-            inside = (
-                (nl[..., 0:1] >= 0)
-                & (nl[..., 0:1] <= res[0] - 1.0)
-                & (nl[..., 1:2] >= 0)
-                & (nl[..., 1:2] <= res[1] - 1.0)
-            ).astype(jnp.float32)
-            nl = nl * inside
-            nm = bl[1] * inside
+            nl, nm = _purge(nl, bl[1], res)
             new_loc = jnp.where(act > 0, nl, bl[0])
             new_mask = jnp.where(act > 0, nm, bl[1])
             new_ts = jnp.where(act > 0, tau_f, bts[0])
@@ -449,6 +437,8 @@ class LinearValidation(IterativeValidation):
         pf = p_cur.astype(jnp.float32)
         ts = event_list[..., 0:1] + pf
         if cfg.round_ts:
+            # unmasked min exact under the loader's ts[0] = 0 contract
+            # (see IterativeValidation.update)
             ts = jnp.broadcast_to(jnp.min(ts) + 0.5, ts.shape)
         loc = event_list[..., 1:3]
 
@@ -480,6 +470,10 @@ class LinearValidation(IterativeValidation):
 
     def window_iwe(self, state: ValState, mode: str = "forward",
                    round_idx: bool = False, event_axis=None):
+        # ``mode`` is accepted and ignored, exactly like the reference's
+        # Linear ``window_iwe(mode=None, ...)`` (``flow_val.py:393-400``):
+        # the Linear protocol keeps no backward buffers, so the
+        # 'iwe_bw_*' vis slots render the forward IWE there too
         fw, _, mask = self._fw_events(state)
         iwe = iwe_from_events(fw, mask, self.cfg.res, round_idx=round_idx)
         if event_axis is not None:
@@ -610,6 +604,12 @@ def compute_aee(pred, gt, event_mask=None, res_aee=None,
     :param res_aee: optional (h, w) center-crop.
     :param vertical_crop_aee: optional row cutoff.
     :return: scalar AEE over valid pixels.
+
+    Reference quirk kept for parity: the crops apply ONLY when
+    ``event_mask`` is given — the reference nests its ``res_aee`` /
+    ``vertical_crop_aee`` handling inside ``if mask is not None``
+    (``flow_val.py:290-306``), so a config that sets the crops without
+    ``mask_aee`` gets full-frame AEE there too.
     """
     error = jnp.sqrt(jnp.sum((pred - gt) ** 2, axis=-1))  # [B, H, W]
     valid = ~((gt[..., 0] == 0.0) & (gt[..., 1] == 0.0))

@@ -80,6 +80,9 @@ def global_ts(event_ts, pass_idx, round_ts: bool):
     """
     ts = event_ts + pass_idx
     if round_ts:
+        # unmasked min is exact: the loader's ts normalization pins the
+        # first real event of every non-empty window to exactly 0
+        # (data/base.py:146-147), the same value the zero-padded rows carry
         mins = jnp.min(ts, axis=(1, 2, 3), keepdims=True)
         ts = jnp.broadcast_to(mins + 0.5, ts.shape)
     return ts

@@ -35,7 +35,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from ..ops import get_event_flow
+from ..ops import get_event_flow, purge_unfeasible
 from .base import (
     LossConfig,
     global_ts,
@@ -59,14 +59,8 @@ def _sample_all(flow_map, loc):
     return jnp.transpose(flow.reshape(b, p, n, 2), (1, 0, 2, 3))
 
 
-def _purge(loc, mask, res):
-    inside = (
-        (loc[..., 0:1] >= 0)
-        & (loc[..., 0:1] <= res[0] - 1.0)
-        & (loc[..., 1:2] >= 0)
-        & (loc[..., 1:2] <= res[1] - 1.0)
-    ).astype(loc.dtype)
-    return loc * inside, mask * inside
+# the shared in-frame purge (ops/warp.py) — one boundary rule everywhere
+_purge = purge_unfeasible
 
 
 def warp_table(flow_maps, event_loc, event_ts, pol_mask, res,

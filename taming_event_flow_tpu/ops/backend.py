@@ -1,4 +1,5 @@
-"""Warp-op backend policy: XLA (separable einsum / taps / scatter) vs Pallas.
+"""Warp-op backend policy: XLA (separable einsum / patch gather / scatter)
+vs Pallas.
 
 Measured on TPU v5e (readback-synced, scripts/bench_pallas.py &
 bench_route_probe.py):
@@ -41,7 +42,7 @@ def get_warp_backend() -> str:
     return _backend
 
 
-def use_pallas(hw: int, n_channels: int = 1, n_points: int = 0) -> bool:
+def use_pallas(hw: int, n_channels: int = 1) -> bool:
     """Resolve the SPLAT backend for a map of ``hw`` pixels (trace-time).
 
     Gathers never consult this: they always use the packed-patch row

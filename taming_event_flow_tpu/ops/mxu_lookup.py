@@ -18,9 +18,13 @@ autodiff transposes are matmuls too — the whole warp/splat pipeline becomes
 systolic-array work. Tables larger than 128·128 are processed in row-tiles
 with hi-tile masking.
 
-Numerics: one-hot factors are exact; contractions run in float32 (XLA's
-high-precision mode on the MXU). Parity tests vs the torch reference pass
-unchanged.
+Numerics: one-hot and triangle factors are exact in every dtype used (0/1
+and sub-unit fractions are bf16-representable). Contractions follow the
+process matmul-precision policy (``ops/precision.py``): DEFAULT = single
+bf16 MXU passes (values rounded to bf16 on the way through — what training
+runs, parity-tested at the loss level), ``highest`` = f32 passes for
+bit-closer parity. Callers doing EXACT lookups (not interpolation) must
+pass ``precision=HIGHEST`` explicitly (``warp.py gather_pixels`` does).
 """
 
 from __future__ import annotations
@@ -49,7 +53,9 @@ def gather_mxu(table, idx, precision=None):
     """``out[b, m] = table[b, idx[b, m]]`` via one-hot matmuls.
 
     :param table: ``[B, T]`` float values.
-    :param idx: ``[B, M]`` int32 in ``[0, T)`` (out-of-range rows read 0).
+    :param idx: ``[B, M]`` int32; rows outside ``[0, n_tiles*16384)`` —
+        including negatives — read 0 (``lo``/``hi`` wrap modulo the tile,
+        but the per-tile mask zeroes every foreign tile id).
     :return: ``[B, M]``.
     """
     precision = precision or default_precision()
@@ -71,10 +77,7 @@ def gather_mxu(table, idx, precision=None):
     for k in range(n_tiles):
         w = jnp.einsum("bmr,brc->bmc", v, tab[:, k], precision=precision)
         val = jnp.sum(u * w, axis=-1)
-        if n_tiles == 1:
-            out = val
-        else:
-            out = out + val * (tile == k).astype(table.dtype)
+        out = out + val * (tile == k).astype(table.dtype)
     return out
 
 
@@ -124,11 +127,19 @@ def _axis_weights(coord, size: int, dtype):
     Exactly the per-axis factor of the 4-tap bilinear stencil — taps outside
     ``[0, size)`` simply have no column, matching the reference's bounds
     masking (``utils/iwe.py:103-107``) and zero-padded ``grid_sample``.
+
+    The triangle is computed in the coordinate dtype (f32) and only the
+    FINISHED factor is cast to ``dtype``: casting the integer positions to
+    bf16 instead would (a) corrupt weights on axes > 256 (bf16 integers are
+    exact only up to 256) and (b) promote the subtraction — and thus the
+    materialized factor — back to f32, silently doubling the HBM traffic
+    the separable formulation is bound by.
     """
     iota = jax.lax.broadcasted_iota(
         jnp.int32, (1,) * coord.ndim + (size,), coord.ndim
-    ).astype(dtype)
-    return jnp.maximum(0.0, 1.0 - jnp.abs(coord[..., None] - iota))
+    ).astype(coord.dtype)
+    tri = jnp.maximum(0.0, 1.0 - jnp.abs(coord[..., None] - iota))
+    return tri.astype(dtype)
 
 
 def _factor_dtype(precision, dtype):

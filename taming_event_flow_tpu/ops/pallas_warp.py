@@ -18,7 +18,16 @@ Both kernels take per-axis stencil modes so the SAME kernels implement the
 custom VJPs: the derivative stencil ``dtri`` reproduces jax's autodiff
 conventions for ``maximum(0, 1 - |d|)`` exactly (``dtri(0) = -1`` since
 ``d|d|/dd = +1`` at 0; ``dtri(+-1) = -+0.5`` from the max tie rule), so
-switching backends does not change gradients.
+switching between this and the separable-einsum backend does not change
+gradients. Caveat (measure-zero): at EXACTLY-integer coordinates the
+bilinear kernel is non-differentiable and the two subgradient conventions
+in this codebase differ — the dtri paths here and in ``mxu_lookup`` split
+the ``|d| = 1`` tie 0.5/0.5 (jax's ``maximum`` rule), while the
+packed-patch gather (``warp.py``) anchors a 2x2 stencil at ``floor`` and
+never sees the tie tap, which is torch ``grid_sample``'s convention (the
+reference oracle). For any non-integer coordinate all paths agree exactly;
+training locations are off-integer almost surely (events ride non-zero
+flow), and the round_idx paths stop-gradient their rounding.
 
 Out-of-frame semantics match the reference's purge/bounds masking for free:
 a tap outside the image has no tile column, and events purged to ``(0, 0)``

@@ -66,8 +66,10 @@ def gather_pixels(table, idx):
 
     b, t = table.shape
     if t <= _TILE:
-        # single row-tile: the one-hot matmul gather rides the MXU
-        return gather_mxu(table, idx)
+        # single row-tile: the one-hot matmul gather rides the MXU. HIGHEST
+        # precision: this is an EXACT lookup — under DEFAULT the MXU would
+        # round the table values to bf16 on their way through the einsum
+        return gather_mxu(table, idx, precision=jax.lax.Precision.HIGHEST)
     if t <= 2 * _TILE:
         return jnp.take_along_axis(table, idx, axis=1)
     rows = -(-t // _LANE)
@@ -246,6 +248,19 @@ def get_event_flow(flow_map, event_loc):
     return gather_values(flow_map, event_loc)[..., ::-1]
 
 
+def inside_mask(loc, res: Res):
+    """``[..., 1]`` float mask of locations inside ``[0, res-1]`` both axes
+    — THE in-frame predicate (boundary rule ``<= res - 1``), shared by every
+    purge/bounds site in the loss and validation layers."""
+    inside = (
+        (loc[..., 0:1] >= 0)
+        & (loc[..., 0:1] <= res[0] - 1.0)
+        & (loc[..., 1:2] >= 0)
+        & (loc[..., 1:2] <= res[1] - 1.0)
+    )
+    return inside.astype(loc.dtype)
+
+
 def purge_unfeasible(event_loc, pol_mask, res: Res):
     """Zero events warped outside the image space.
 
@@ -253,17 +268,11 @@ def purge_unfeasible(event_loc, pol_mask, res: Res):
     zero — identical to the reference so subsequent warp iterations see the
     same values (reference ``utils/iwe.py:43-60``).
 
-    :param event_loc: ``[B, N, 2]`` warped ``(y, x)`` locations.
-    :param pol_mask: ``[B, N, 2]`` polarity mask.
+    :param event_loc: ``[..., N, 2]`` warped ``(y, x)`` locations.
+    :param pol_mask: ``[..., N, 2]`` polarity mask.
     :return: masked ``(event_loc, pol_mask)``.
     """
-    inside = (
-        (event_loc[:, :, 0:1] >= 0)
-        & (event_loc[:, :, 0:1] <= res[0] - 1.0)
-        & (event_loc[:, :, 1:2] >= 0)
-        & (event_loc[:, :, 1:2] <= res[1] - 1.0)
-    )
-    inside = inside.astype(event_loc.dtype)
+    inside = inside_mask(event_loc, res)
     return event_loc * inside, pol_mask * inside
 
 
