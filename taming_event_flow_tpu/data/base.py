@@ -32,26 +32,38 @@ except Exception:  # pragma: no cover
 # numpy twins of ops/encodings.py (device versions) for the host loader
 
 
+def _flat_idx(xs, ys, res):
+    return ys.astype(np.int64) * res[1] + xs.astype(np.int64)
+
+
+def _bincount_image(idx, weights, res):
+    # np.bincount runs ~5x faster than np.add.at for this accumulation;
+    # weights accumulate in f64 (a superset of the f32 chain — exact for
+    # the integer-valued counts, <=1 ulp elsewhere)
+    img = np.bincount(idx, weights=weights, minlength=res[0] * res[1])
+    return img.reshape(res).astype(np.float32)
+
+
 def events_to_image_np(xs, ys, ps, res):
-    img = np.zeros(res, np.float32)
-    np.add.at(img, (ys.astype(np.int64), xs.astype(np.int64)), ps)
-    return img
+    return _bincount_image(_flat_idx(xs, ys, res), ps, res)
 
 
 def events_to_channels_np(xs, ys, ps, res):
     """[H, W, 2] per-polarity counts (reference ``encodings.py:59-81``)."""
-    pos = events_to_image_np(xs, ys, np.where(ps > 0, ps, 0.0), res)
-    neg = events_to_image_np(xs, ys, np.where(ps < 0, -ps, 0.0), res)
+    idx = _flat_idx(xs, ys, res)
+    pos = _bincount_image(idx, np.where(ps > 0, ps, 0.0), res)
+    neg = _bincount_image(idx, np.where(ps < 0, -ps, 0.0), res)
     return np.stack([pos, neg], axis=-1)
 
 
 def events_to_voxel_np(xs, ys, ts, ps, num_bins, res):
     """[H, W, B] bilinear-in-time voxel grid (reference ``encodings.py:32-56``)."""
+    idx = _flat_idx(xs, ys, res)
     tb = ts * (num_bins - 1)
     bins = []
     for b in range(num_bins):
         w = np.maximum(0.0, 1.0 - np.abs(tb - b))
-        bins.append(events_to_image_np(xs, ys, ps * w, res))
+        bins.append(_bincount_image(idx, ps * w, res))
     return np.stack(bins, axis=-1)
 
 
@@ -229,7 +241,9 @@ class BaseStreamLoader:
 
         event_cnt = events_to_channels_np(xs, ys, ps, self.res)
         event_cnt = self.remap(event_cnt, rect_mapping)
-        event_mask = (event_cnt.sum(-1, keepdims=True) > 0).astype(np.float32)
+        event_mask = (
+            (event_cnt[..., 0] + event_cnt[..., 1]) > 0
+        ).astype(np.float32)[..., None]
 
         if self.voxel_bins is not None:
             voxel = events_to_voxel_np(xs, ys, ts, ps, self.voxel_bins, self.res)

@@ -91,6 +91,7 @@ class _Lane:
         self.inv_K_rect = None
         self.Q_rect = None
         self.flowmaps: Optional[FlowMapsIndex] = None
+        self.flow_group = None
         self.new_seq: bool = False
         self.ts_jump_reset: bool = False
         self.gt_avg_dt: Optional[float] = None
@@ -216,6 +217,7 @@ class H5Loader(BaseStreamLoader):
         lane.flowmaps = (
             FlowMapsIndex(lane.file) if self.mode == "gtflow" else None
         )
+        lane.flow_group = lane.file.get("flow")
 
     def _rectification_mapping(self, lane: _Lane):
         """Backward rectification map + intrinsics from in-file calibration
@@ -328,22 +330,28 @@ class H5Loader(BaseStreamLoader):
         return n - 1 - r  # r in [-1, n-1] -> result in [0, n]
 
     def _read_events(self, lane: _Lane, idx0: int, idx1: int):
-        """Read a window, honoring virtual playback reversal."""
-        f = lane.file
+        """Read a window, honoring virtual playback reversal.
+
+        Reads go through the cached dataset handles (``lane.ds``): each
+        h5py group lookup costs ~0.1 ms and the four per-window reads were
+        ~24% of measured batch production time through fresh lookups
+        (``scripts/bench_host_loader.py``).
+        """
+        ds = lane.ds
         n = self._num_events(lane)
         idx0 = max(0, min(idx0, n))
         idx1 = max(idx0, min(idx1, n))
         if not lane.playback:
-            xs = f["events/xs"][idx0:idx1]
-            ys = f["events/ys"][idx0:idx1]
-            ts = f["events/ts"][idx0:idx1]
-            ps = f["events/ps"][idx0:idx1]
+            xs = ds["xs"][idx0:idx1]
+            ys = ds["ys"][idx0:idx1]
+            ts = ds["ts"][idx0:idx1]
+            ps = ds["ps"][idx0:idx1]
         else:
             a, b = n - idx1, n - idx0
-            xs = f["events/xs"][a:b][::-1]
-            ys = f["events/ys"][a:b][::-1]
-            ps = f["events/ps"][a:b][::-1]
-            ts = (lane.t_max + lane.t_min) - f["events/ts"][a:b][::-1]
+            xs = ds["xs"][a:b][::-1]
+            ys = ds["ys"][a:b][::-1]
+            ps = ds["ps"][a:b][::-1]
+            ts = (lane.t_max + lane.t_min) - ds["ts"][a:b][::-1]
         return xs, ys, ts.astype(np.float64), ps
 
     def get_events(self, lane: _Lane, idx0: int, idx1: int):
@@ -430,7 +438,7 @@ class H5Loader(BaseStreamLoader):
             idx = int(np.ceil(lane.row + self.window))
             if np.isclose(lane.row + self.window, idx - 1):
                 idx -= 1
-            fm = lane.file["flow"][lane.flowmaps.names[idx]][:]
+            fm = lane.flow_group[lane.flowmaps.names[idx]][:]
             gt["gtflow"] = fm.astype(np.float32)  # [H, W, 2]
             gt["gtflow_dt"] = np.float32(
                 lane.flowmaps.ts_to[idx] - lane.flowmaps.ts_from[idx]
