@@ -49,11 +49,20 @@ def events_to_image_np(xs, ys, ps, res):
 
 
 def events_to_channels_np(xs, ys, ps, res):
-    """[H, W, 2] per-polarity counts (reference ``encodings.py:59-81``)."""
+    """[H, W, 2] per-polarity counts (reference ``encodings.py:59-81``).
+
+    One bincount over a polarity-offset index instead of two over the base
+    index: positive events land in plane 0 with weight ``ps``, negative in
+    plane 1 with weight ``-ps``, zeros (padding) contribute nothing —
+    element-for-element the two-plane accumulation.
+    """
+    hw = res[0] * res[1]
     idx = _flat_idx(xs, ys, res)
-    pos = _bincount_image(idx, np.where(ps > 0, ps, 0.0), res)
-    neg = _bincount_image(idx, np.where(ps < 0, -ps, 0.0), res)
-    return np.stack([pos, neg], axis=-1)
+    idx += hw * (ps < 0)
+    img = np.bincount(idx, weights=np.abs(ps), minlength=2 * hw)
+    return np.transpose(
+        img.reshape(2, res[0], res[1]), (1, 2, 0)
+    ).astype(np.float32)
 
 
 def events_to_voxel_np(xs, ys, ts, ps, num_bins, res):
@@ -153,10 +162,15 @@ class BaseStreamLoader:
         xs = xs.astype(np.float32)
         ys = ys.astype(np.float32)
         ts = ts.astype(np.float32)
-        ps = ps.astype(np.float32) * 2 - 1
+        ps = ps.astype(np.float32)
+        # in-place on the owned astype copies (same op order as the
+        # out-of-place form, so bit-identical)
+        ps *= 2
+        ps -= 1
         if ts.shape[0] > 0:
-            denom = ts[-1] - ts[0]
-            ts = (ts - ts[0]) / (denom if denom != 0 else 1.0)
+            t0, denom = ts[0], ts[-1] - ts[0]
+            ts -= t0
+            ts /= denom if denom != 0 else 1.0
         return xs, ys, ts, ps
 
     @staticmethod
@@ -236,8 +250,17 @@ class BaseStreamLoader:
 
         lx = rec_xs if rec_xs is not None else xs
         ly = rec_ys if rec_ys is not None else ys
-        event_list = np.stack([ts, ly, lx, ps], axis=-1)  # [N, 4]
-        pol_mask = np.stack([(ps > 0), (ps < 0)], axis=-1).astype(np.float32)
+        # column-assigned instead of np.stack(...).astype: one [N, 4] f32
+        # allocation, no f64 intermediate, no second astype copy
+        n_ev = ts.shape[0]
+        event_list = np.empty((n_ev, 4), np.float32)
+        event_list[:, 0] = ts
+        event_list[:, 1] = ly
+        event_list[:, 2] = lx
+        event_list[:, 3] = ps
+        pol_mask = np.empty((n_ev, 2), np.float32)
+        pol_mask[:, 0] = ps > 0
+        pol_mask[:, 1] = ps < 0
 
         event_cnt = events_to_channels_np(xs, ys, ps, self.res)
         event_cnt = self.remap(event_cnt, rect_mapping)
@@ -249,7 +272,9 @@ class BaseStreamLoader:
             voxel = events_to_voxel_np(xs, ys, ts, ps, self.voxel_bins, self.res)
             net_input = self.remap(voxel, rect_mapping)
         else:
-            net_input = event_cnt.copy()
+            # alias, not copy: sample arrays are read-only downstream and
+            # collate materializes each key into its own batch buffer
+            net_input = event_cnt
 
         # grad-event subsample as a mask (reference splits two ragged lists,
         # ``base.py:347-377``)
@@ -261,10 +286,10 @@ class BaseStreamLoader:
             grad_mask[keep] = 1.0
 
         out = {
-            "net_input": net_input.astype(np.float32),
-            "event_cnt": event_cnt.astype(np.float32),
+            "net_input": net_input.astype(np.float32, copy=False),
+            "event_cnt": event_cnt.astype(np.float32, copy=False),
             "event_mask": event_mask,
-            "event_list": event_list.astype(np.float32),
+            "event_list": event_list,
             "event_list_pol_mask": pol_mask,
             "grad_mask": grad_mask,
         }
@@ -295,11 +320,21 @@ class BaseStreamLoader:
             )
         batch = {}
         for key in samples[0]:
-            items = []
-            for s in samples:
-                v = s[key]
-                if key in ragged:
-                    v = pad_events(v, n_pad)
-                items.append(v)
-            batch[key] = np.stack(items)
+            if key in ragged:
+                # fill a zeroed [B, n_pad, C] buffer directly: one copy per
+                # sample instead of pad_events + np.stack (two)
+                first = samples[0][key]
+                out = np.zeros(
+                    (len(samples), n_pad) + first.shape[1:], first.dtype
+                )
+                for i, s in enumerate(samples):
+                    v = s[key][:n_pad]
+                    out[i, : v.shape[0]] = v
+                batch[key] = out
+            elif len(samples) == 1:
+                # zero-copy batch axis (eval runs batch_size 1; stacking
+                # the 480x640 representations was ~2.5 ms/window)
+                batch[key] = samples[0][key][None]
+            else:
+                batch[key] = np.stack([s[key] for s in samples])
         return batch

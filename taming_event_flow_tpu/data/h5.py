@@ -352,13 +352,13 @@ class H5Loader(BaseStreamLoader):
             ys = ds["ys"][a:b][::-1]
             ps = ds["ps"][a:b][::-1]
             ts = (lane.t_max + lane.t_min) - ds["ts"][a:b][::-1]
-        return xs, ys, ts.astype(np.float64), ps
+        return xs, ys, ts.astype(np.float64, copy=False), ps
 
     def get_events(self, lane: _Lane, idx0: int, idx1: int):
         """Window read + t0 shift + gt temporal-discontinuity detection
         (reference ``h5.py:127-162``)."""
         xs, ys, ts, ps = self._read_events(lane, idx0, idx1)
-        ts = ts - lane.attrs["t0"]
+        ts -= lane.attrs["t0"]  # in-place: _read_events returns fresh arrays
 
         ts_jump = False
         if self.mode == "gtflow" and ts.shape[0] > 0:
@@ -439,7 +439,7 @@ class H5Loader(BaseStreamLoader):
             if np.isclose(lane.row + self.window, idx - 1):
                 idx -= 1
             fm = lane.flow_group[lane.flowmaps.names[idx]][:]
-            gt["gtflow"] = fm.astype(np.float32)  # [H, W, 2]
+            gt["gtflow"] = fm.astype(np.float32, copy=False)  # [H, W, 2]
             gt["gtflow_dt"] = np.float32(
                 lane.flowmaps.ts_to[idx] - lane.flowmaps.ts_from[idx]
             )
