@@ -275,190 +275,216 @@ def test(args, config_parser: YAMLParser):
         return flow_fine
 
     from taming_event_flow_tpu.utils import ProgressBar
+    from taming_event_flow_tpu.data.prefetch import Prefetcher
+
+    def batch_stream():
+        """Produce (batch, metadata) with all loader state snapshotted at
+        production time, so a prefetch thread can run the stateful loader
+        ahead of the device (the loop body below never touches ``data``).
+
+        ``ts_jump_reset`` is sticky on the lane until cleared; clearing it
+        right here makes the flag batch-scoped — exactly the consumer-side
+        ``clear_ts_jump()`` timing of the synchronous loop (the reference
+        evaluator's global-flag protocol, reference ``eval_flow.py:75-88``).
+        """
+        while True:
+            b = data.next_batch()
+            if b["ts_jump_reset"].any():
+                data.clear_ts_jump()
+            meta = {
+                "sequence": data.seq_name,
+                "ts": data.last_proc_timestamp,
+                "end_test": data.seq_num >= len(data.files),
+                "bar_iters": data.get_iters(data.lanes[0]),
+            }
+            yield b, meta
+            if meta["end_test"]:
+                return
 
     bar = None
-    if config["vis"].get("bars"):
-        bar = ProgressBar(data.seq_name, max=data.get_iters(data.lanes[0]))
+    bar_name = None
 
     val_results = {}
-    end_test = False
-    while not end_test:
-        batch = data.next_batch()
-        sequence = data.seq_name
+    prefetcher = Prefetcher(batch_stream(), depth=3)
+    try:
+        for batch, meta in prefetcher:
+            sequence = meta["sequence"]
 
-        if bar is not None:
-            bar.next()
+            if config["vis"].get("bars"):
+                if bar is None:
+                    bar_name = sequence
+                    bar = ProgressBar(bar_name, max=meta["bar_iters"])
+                bar.next()
 
-        if batch["new_seq"].any():
-            if bar is not None:
-                bar.finish()
-                bar = ProgressBar(
-                    data.seq_name, max=data.get_iters(data.lanes[0])
+            if batch["new_seq"].any():
+                if bar is not None:
+                    bar.finish()
+                    bar_name = sequence
+                    bar = ProgressBar(bar_name, max=meta["bar_iters"])
+                carry = model.init_state(1, res[0], res[1])
+                if windowed:
+                    vstate_stale = True  # next window's program resets it
+                else:
+                    vstate = fresh_state(vstate)
+                passes_done = 0
+                # buffered passes of the old sequence never reached a window
+                # boundary: the per-pass path would discard their updates at
+                # this same reset, so drop them unprocessed
+                wbuf.clear()
+
+            if config["data"]["mode"] == "gtflow" and batch["ts_jump_reset"].any():
+                # mid-window ts jump: buffered passes must land BEFORE the
+                # carry reset (the validation window continues across the
+                # jump); the window's remaining passes then run per-pass
+                for b in list(wbuf):
+                    run_pass(b)
+                wbuf.clear()
+                carry = model.init_state(1, res[0], res[1])
+
+            if meta["end_test"]:
+                break
+
+            n_batch = batch["event_list"].shape[1]
+            if n_batch > criteria.n_events:
+                # only reachable without a loader.n_events_pad cap: growing the
+                # event axis re-jits the whole update program (minutes on a cold
+                # TPU) — set a per-dataset cap (configs/eval_*.yml) to avoid it
+                import warnings
+
+                warnings.warn(
+                    f"event bucket grew {criteria.n_events} -> {n_batch}; "
+                    "recompiling the validation update. Set loader.n_events_pad "
+                    "to a static per-dataset cap to compile once.",
+                    stacklevel=2,
                 )
-            carry = model.init_state(1, res[0], res[1])
-            if windowed:
-                vstate_stale = True  # next window's program resets it
+                criteria = val_cls(val_cfg, 1, n_batch)
+                vstate = grow_val_state(vstate, n_batch)
+                _eval_step[0] = _make_step()
+                _window_step[0] = _make_window_step()
+                _reducers[0] = _make_reducers()
+                _init_jit[0] = jax.jit(criteria.init)
+                _reset_jit[0] = jax.jit(criteria.reset, donate_argnums=(0,))
+                wbuf[:] = [pad_batch_events(b, n_batch) for b in wbuf]
+            elif n_batch < criteria.n_events:
+                batch = pad_batch_events(batch, criteria.n_events)
+
+            if windowed and passes_done == 0:
+                # buffer until the GT window is complete, then dispatch once
+                wbuf.append(batch)
+                flow_fine = None
+                if len(wbuf) == passes:
+                    flow_fine = run_window()
             else:
-                vstate = fresh_state(vstate)
-            passes_done = 0
-            # buffered passes of the old sequence never reached a window
-            # boundary: the per-pass path would discard their updates at
-            # this same reset, so drop them unprocessed
-            wbuf.clear()
+                flow_fine = run_pass(batch)
 
-        if config["data"]["mode"] == "gtflow" and batch["ts_jump_reset"].any():
-            data.clear_ts_jump()
-            # mid-window ts jump: buffered passes must land BEFORE the
-            # carry reset (the validation window continues across the
-            # jump); the window's remaining passes then run per-pass
-            for b in list(wbuf):
-                run_pass(b)
-            wbuf.clear()
-            carry = model.init_state(1, res[0], res[1])
+            flow_vis = None
+            if want_vis("flow") or want_vis("iwe"):
+                flow_vis = np.asarray(flow_fine)
+                if config["vis"].get("mask_output"):
+                    flow_vis = flow_vis * np.asarray(batch["event_mask"])
 
-        if data.seq_num >= len(data.files):
-            end_test = True
-            break
-
-        n_batch = batch["event_list"].shape[1]
-        if n_batch > criteria.n_events:
-            # only reachable without a loader.n_events_pad cap: growing the
-            # event axis re-jits the whole update program (minutes on a cold
-            # TPU) — set a per-dataset cap (configs/eval_*.yml) to avoid it
-            import warnings
-
-            warnings.warn(
-                f"event bucket grew {criteria.n_events} -> {n_batch}; "
-                "recompiling the validation update. Set loader.n_events_pad "
-                "to a static per-dataset cap to compile once.",
-                stacklevel=2,
-            )
-            criteria = val_cls(val_cfg, 1, n_batch)
-            vstate = grow_val_state(vstate, n_batch)
-            _eval_step[0] = _make_step()
-            _window_step[0] = _make_window_step()
-            _reducers[0] = _make_reducers()
-            _init_jit[0] = jax.jit(criteria.init)
-            _reset_jit[0] = jax.jit(criteria.reset, donate_argnums=(0,))
-            wbuf[:] = [pad_batch_events(b, n_batch) for b in wbuf]
-        elif n_batch < criteria.n_events:
-            batch = pad_batch_events(batch, criteria.n_events)
-
-        if windowed and passes_done == 0:
-            # buffer until the GT window is complete, then dispatch once
-            wbuf.append(batch)
-            flow_fine = None
-            if len(wbuf) == passes:
-                flow_fine = run_window()
-        else:
-            flow_fine = run_pass(batch)
-
-        flow_vis = None
-        if want_vis("flow") or want_vis("iwe"):
-            flow_vis = np.asarray(flow_fine)
-            if config["vis"].get("mask_output"):
-                flow_vis = flow_vis * np.asarray(batch["event_mask"])
-
-        if want_vis("iwe"):
-            vis.data["iwe"] = np.asarray(
-                compute_pol_iwe(
-                    jnp.asarray(flow_vis), jnp.asarray(batch["event_list"]),
-                    res, jnp.asarray(batch["event_list_pol_mask"]),
-                    round_idx=False, round_flow=False,
+            if want_vis("iwe"):
+                vis.data["iwe"] = np.asarray(
+                    compute_pol_iwe(
+                        jnp.asarray(flow_vis), jnp.asarray(batch["event_list"]),
+                        res, jnp.asarray(batch["event_list_pol_mask"]),
+                        round_idx=False, round_flow=False,
+                    )
                 )
+
+            if vis_on:
+                num = passes_done
+                # event-dim accessors go through _reducers (shard_map on the
+                # sharded path — raw criteria calls would splat sharded
+                # buffers); window_flow reads only replicated pixel-space
+                # accumulators and is safe raw
+                if passes > 1 and config["vis"].get("dynamic"):
+                    if want_vis("events_dynamic"):
+                        vis.data["events_dynamic"] = np.asarray(
+                            _reducers[0]["window_events"](vstate))
+                    if want_vis("iwe_fw_dynamic"):
+                        vis.data["iwe_fw_dynamic"] = np.asarray(
+                            _reducers[0]["window_iwe_fw"](vstate))
+                    if want_vis("iwe_bw_dynamic"):
+                        vis.data["iwe_bw_dynamic"] = np.asarray(
+                            _reducers[0]["window_iwe_bw"](vstate))
+                    if want_vis("flow_dynamic"):
+                        vis.data["flow_dynamic"] = np.asarray(
+                            criteria.window_flow(vstate, mode="forward"))
+                if num > 1 and num == passes:
+                    if want_vis("events_window"):
+                        vis.data["events_window"] = np.asarray(
+                            _reducers[0]["window_events"](vstate))
+                    if want_vis("iwe_fw_window"):
+                        vis.data["iwe_fw_window"] = np.asarray(
+                            _reducers[0]["window_iwe_fw"](vstate))
+                    if want_vis("iwe_bw_window"):
+                        vis.data["iwe_bw_window"] = np.asarray(
+                            _reducers[0]["window_iwe_bw"](vstate))
+                    if want_vis("flow_window"):
+                        vis.data["flow_window"] = np.asarray(
+                            criteria.window_flow(vstate, mode="forward"))
+
+            vis.data["flow_bw"] = None
+            val_results = initialize_quant_results(
+                val_results, sequence, metric_names
             )
+            if passes_done == passes:
+                compute = True
+                if "eval_time" in metrics_cfg:
+                    t = meta["ts"]
+                    lo, hi = metrics_cfg["eval_time"]
+                    compute = lo <= t <= hi
 
-        if vis_on:
-            num = passes_done
-            # event-dim accessors go through _reducers (shard_map on the
-            # sharded path — raw criteria calls would splat sharded
-            # buffers); window_flow reads only replicated pixel-space
-            # accumulators and is safe raw
-            if passes > 1 and config["vis"].get("dynamic"):
-                if want_vis("events_dynamic"):
-                    vis.data["events_dynamic"] = np.asarray(
-                        _reducers[0]["window_events"](vstate))
-                if want_vis("iwe_fw_dynamic"):
-                    vis.data["iwe_fw_dynamic"] = np.asarray(
-                        _reducers[0]["window_iwe_fw"](vstate))
-                if want_vis("iwe_bw_dynamic"):
-                    vis.data["iwe_bw_dynamic"] = np.asarray(
-                        _reducers[0]["window_iwe_bw"](vstate))
-                if want_vis("flow_dynamic"):
-                    vis.data["flow_dynamic"] = np.asarray(
-                        criteria.window_flow(vstate, mode="forward"))
-            if num > 1 and num == passes:
-                if want_vis("events_window"):
-                    vis.data["events_window"] = np.asarray(
-                        _reducers[0]["window_events"](vstate))
-                if want_vis("iwe_fw_window"):
-                    vis.data["iwe_fw_window"] = np.asarray(
-                        _reducers[0]["window_iwe_fw"](vstate))
-                if want_vis("iwe_bw_window"):
-                    vis.data["iwe_bw_window"] = np.asarray(
-                        _reducers[0]["window_iwe_bw"](vstate))
-                if want_vis("flow_window"):
-                    vis.data["flow_window"] = np.asarray(
-                        criteria.window_flow(vstate, mode="forward"))
-
-        vis.data["flow_bw"] = None
-        val_results = initialize_quant_results(
-            val_results, sequence, metric_names
-        )
-        if passes_done == passes:
-            compute = True
-            if "eval_time" in metrics_cfg:
-                t = data.last_proc_timestamp
-                lo, hi = metrics_cfg["eval_time"]
-                compute = lo <= t <= hi
-
-            if compute:
-                if (
-                    config["data"]["mode"] == "gtflow"
-                    and "AEE" in metric_names
-                    and "gtflow" in batch
-                ):
-                    mask_aee = None
-                    if metrics_cfg.get("mask_aee"):
-                        mask_aee = _reducers[0]["window_events"](vstate)
-                    flow_bw = (
-                        criteria.window_flow(vstate, mode="backward", mask=False)
-                        * passes
-                    )
-                    vis.data["flow_bw"] = np.asarray(flow_bw)
-                    aee = compute_aee(
-                        flow_bw, jnp.asarray(batch["gtflow"]),
-                        event_mask=mask_aee,
-                        res_aee=metrics_cfg.get("res_aee"),
-                        vertical_crop_aee=metrics_cfg.get("vertical_crop_aee"),
-                    )
-                    val_results[sequence]["AEE"]["metric"] += float(aee)
-                    val_results[sequence]["AEE"]["it"] += 1
-
-                for metric in metric_names:
-                    if metric == "RSAT":
-                        val_results[sequence][metric]["metric"] += float(
-                            _reducers[0]["rsat"](vstate)[0]
+                if compute:
+                    if (
+                        config["data"]["mode"] == "gtflow"
+                        and "AEE" in metric_names
+                        and "gtflow" in batch
+                    ):
+                        mask_aee = None
+                        if metrics_cfg.get("mask_aee"):
+                            mask_aee = _reducers[0]["window_events"](vstate)
+                        flow_bw = (
+                            criteria.window_flow(vstate, mode="backward", mask=False)
+                            * passes
                         )
-                        val_results[sequence][metric]["it"] += 1
-                    elif metric == "FWL":
-                        val_results[sequence][metric]["metric"] += float(
-                            _reducers[0]["fwl"](vstate)
+                        vis.data["flow_bw"] = np.asarray(flow_bw)
+                        aee = compute_aee(
+                            flow_bw, jnp.asarray(batch["gtflow"]),
+                            event_mask=mask_aee,
+                            res_aee=metrics_cfg.get("res_aee"),
+                            vertical_crop_aee=metrics_cfg.get("vertical_crop_aee"),
                         )
-                        val_results[sequence][metric]["it"] += 1
+                        val_results[sequence]["AEE"]["metric"] += float(aee)
+                        val_results[sequence]["AEE"]["it"] += 1
 
-            if windowed:
-                vstate_stale = True  # next window's program resets it
-            else:
-                vstate = fresh_state(vstate)
-            passes_done = 0
+                    for metric in metric_names:
+                        if metric == "RSAT":
+                            val_results[sequence][metric]["metric"] += float(
+                                _reducers[0]["rsat"](vstate)[0]
+                            )
+                            val_results[sequence][metric]["it"] += 1
+                        elif metric == "FWL":
+                            val_results[sequence][metric]["metric"] += float(
+                                _reducers[0]["fwl"](vstate)
+                            )
+                            val_results[sequence][metric]["it"] += 1
 
-        if config["vis"].get("enabled") or config["vis"].get("store"):
-            vis.data["flow"] = flow_vis
-            vis.step(
-                batch, sequence=sequence, ts=data.last_proc_timestamp,
-                show=config["vis"].get("show"),
-            )
+                if windowed:
+                    vstate_stale = True  # next window's program resets it
+                else:
+                    vstate = fresh_state(vstate)
+                passes_done = 0
+
+            if config["vis"].get("enabled") or config["vis"].get("store"):
+                vis.data["flow"] = flow_vis
+                vis.step(
+                    batch, sequence=sequence, ts=meta["ts"],
+                    show=config["vis"].get("show"),
+                )
+    finally:
+        prefetcher.close()
 
     results = {}
     for metric in metric_names:
