@@ -70,6 +70,7 @@ def test(args, config_parser: YAMLParser):
     run = tracking.get_run(args.runid)
     config = config_parser.merge_configs(run.data.params)
     config = config_parser.combine_entries(config)
+    config_parser.apply_runtime(config)
 
     from taming_event_flow_tpu.ops.precision import set_matmul_precision
 

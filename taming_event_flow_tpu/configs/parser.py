@@ -69,6 +69,13 @@ DEFAULTS: Dict[str, Any] = {
     },
     "metrics": {},
     "optimizer": {"name": "Adam", "lr": 1e-5},
+    "runtime": {
+        # persistent XLA compilation cache directory (None disables). TPU
+        # compiles of the windowed train/eval programs take tens of seconds
+        # per process; with a cache dir, repeat runs at the same shapes
+        # skip them entirely.
+        "compilation_cache": None,
+    },
     "vis": {
         "enabled": False,
         "bars": False,
@@ -143,6 +150,21 @@ class YAMLParser:
         deep_merge(config, parsed)
         deep_merge(config, _copy(self._explicit))
         return config
+
+    @staticmethod
+    def apply_runtime(config: Dict) -> None:
+        """Apply process-level runtime settings (currently the persistent
+        XLA compilation cache). Must run before the first compile; safe to
+        call more than once."""
+        cache_dir = (config.get("runtime") or {}).get("compilation_cache")
+        if cache_dir:
+            import jax
+
+            jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+            # cache every program worth caching, not only >1 s compiles
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 0.1
+            )
 
     @staticmethod
     def combine_entries(config: Dict) -> Dict:

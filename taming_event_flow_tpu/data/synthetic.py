@@ -51,7 +51,14 @@ def write_synthetic_h5(
         f.attrs["duration"] = float(ts[-1] - ts[0])
 
         if n_flow_frames > 0:
-            edges = np.linspace(ts[0], ts[-1], n_flow_frames + 1)
+            if gt_gap_after is None:
+                edges = np.linspace(ts[0], ts[-1], n_flow_frames + 1)
+            else:
+                # a real recording discontinuity (e.g. a DSEC chunk
+                # boundary): GT frames follow the data — no frame tiles the
+                # event-free hole; the gap shows up as a timestamp jump
+                # between consecutive frames (what ts_jump detection is for)
+                edges = np.quantile(ts, np.linspace(0, 1, n_flow_frames + 1))
             for i in range(n_flow_frames):
                 d = f.create_dataset(
                     f"flow/{i:06d}",

@@ -66,3 +66,26 @@ def test_seeding(tmp_path):
     YAMLParser(str(p))
     b = np.random.rand()
     assert a == b
+
+
+def test_apply_runtime_compilation_cache(tmp_path):
+    import jax
+
+    from taming_event_flow_tpu.configs import YAMLParser
+
+    cache = tmp_path / "xla_cache"
+    old = jax.config.jax_compilation_cache_dir
+    try:
+        YAMLParser.apply_runtime(
+            {"runtime": {"compilation_cache": str(cache)}}
+        )
+        assert jax.config.jax_compilation_cache_dir == str(cache)
+        # populated on first compile
+        f = jax.jit(lambda x: x * 2 + 1)
+        f(np.ones((64, 64))).block_until_ready()
+        assert cache.is_dir() and len(list(cache.iterdir())) >= 1
+        # absent/None -> no-op
+        YAMLParser.apply_runtime({})
+        assert jax.config.jax_compilation_cache_dir == str(cache)
+    finally:
+        jax.config.update("jax_compilation_cache_dir", old)

@@ -174,6 +174,55 @@ def test_warm_start_resume(trained_run):
     assert len(lines) >= 2  # replayed history + new epochs
 
 
+def test_eval_handles_ts_jump(trained_run, tmp_path):
+    """Eval CLI on a sequence with a GT temporal discontinuity: the loader
+    flags ts_jump_reset, the (prefetched) eval loop flushes buffered passes
+    and resets the model carry mid-window, and the run still produces
+    finite metrics (reference protocol: eval_flow.py:75-88)."""
+    root, ds, runid = trained_run
+    ds_jump = tmp_path / "data_jump"
+    ds_jump.mkdir()
+    write_synthetic_h5(
+        str(ds_jump / "seq0.h5"), n_events=3000, res=RES, n_flow_frames=8,
+        seed=5, gt_gap_after=0.5,
+    )
+
+    # the discontinuity must actually fire the loader flag for this file
+    from taming_event_flow_tpu.configs import YAMLParser
+    from taming_event_flow_tpu.data import H5Loader
+    import yaml as _yaml
+
+    probe_cfg_path = write_cfg(tmp_path / "probe.yml", {
+        "data": {"path": str(ds_jump), "mode": "gtflow", "window": 1,
+                 "passes_loss": 2, "cache": False},
+        "loader": {"resolution": list(RES), "batch_size": 1, "augment": [],
+                   "max_num_grad_events": None, "seed": 11},
+        "vis": {"enabled": False},
+    })
+    probe = H5Loader(YAMLParser(probe_cfg_path).config, shuffle=False)
+    fired = False
+    for _ in range(40):
+        b = probe.next_batch()
+        if b["ts_jump_reset"].any():
+            fired = True
+            probe.clear_ts_jump()
+        if probe.seq_num >= len(probe.files):
+            break
+    assert fired, "synthetic gap did not trigger ts_jump detection"
+
+    import eval_flow
+
+    cfg_path = make_eval_cfg(tmp_path, str(ds_jump))
+    args = argparse.Namespace(
+        runid=runid, config=cfg_path, path_mlflow=str(root),
+        path_results=str(tmp_path / "results_jump") + "/",
+    )
+    results = eval_flow.test(args, YAMLParser(cfg_path))
+    for metric in results.values():
+        for v in metric.values():
+            assert np.isfinite(float(v))
+
+
 def test_dsec_submission_formatter_real_metadata(tmp_path):
     """Formatter against the benchmark metadata shipped in-repo
     (``dsec_submissions/``, carried over from the reference's

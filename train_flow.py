@@ -74,6 +74,7 @@ def train(args, config_parser: YAMLParser):
         # writes stay on process 0 (its store is the canonical run)
         runid = f"proc{jax.process_index()}"
     config = config_parser.combine_entries(config)
+    config_parser.apply_runtime(config)
     print("Run id:", runid)
 
     # observability: git-diff snapshot + TensorBoard mirror (reference
