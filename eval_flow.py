@@ -102,7 +102,11 @@ def test(args, config_parser: YAMLParser):
                 "step": np.int64(0), "epoch": np.int64(0)}
     restored, _ = load_checkpoint(args.runid, template)
     if restored is not None:
-        params = restored["params"]
+        # commit the restored (numpy) tree to the device ONCE: numpy leaves
+        # passed to jit force the slow python dispatch path and a full
+        # param re-upload on EVERY call (measured: +2.3 s/window at DSEC
+        # 480x640 through the tunneled TPU plugin)
+        params = jax.device_put(restored["params"])
     else:
         print("WARNING: no checkpoint found for run; evaluating random init")
 
@@ -195,17 +199,55 @@ def test(args, config_parser: YAMLParser):
     windowed = (passes > 1 and not per_pass_vis
                 and not config["vis"].get("enabled"))
 
+    # window-boundary metrics INSIDE the window program: one dispatch and
+    # scalar readbacks replace 3 separate post-window reducer dispatches
+    # (flow_bw / RSAT / FWL) that each block the host. Disabled when the
+    # protocol gates metrics on eval_time (mostly-skipped windows would
+    # compute them for nothing), and on the event-sharded path (reducers
+    # run shard_map'd there).
+    _aee_in_program = (
+        config["data"]["mode"] == "gtflow" and "AEE" in metric_names
+    )
+    _use_extras = (
+        windowed and eval_mesh is None and "eval_time" not in metrics_cfg
+    )
+
+    def _window_metrics(vstate, gtflow):
+        out = {}
+        if "RSAT" in metric_names:
+            out["rsat"] = criteria.rsat(vstate)[0]
+        if "FWL" in metric_names:
+            out["fwl"] = criteria.fwl(vstate)
+        if _aee_in_program:
+            flow_bw = (
+                criteria.window_flow(vstate, mode="backward", mask=False)
+                * passes
+            )
+            out["flow_bw"] = flow_bw
+            mask = None
+            if metrics_cfg.get("mask_aee"):
+                mask = criteria.window_events(vstate)
+            out["aee"] = compute_aee(
+                flow_bw, gtflow, event_mask=mask,
+                res_aee=metrics_cfg.get("res_aee"),
+                vertical_crop_aee=metrics_cfg.get("vertical_crop_aee"),
+            )
+        return out
+
     def _make_window_step():
         if not windowed:
             return None
         # reset_first: the boundary reset folds into the window program
         # (stale state in, fresh window out — one dispatch per window total)
-        return make_eval_window_step(model, criteria, flow_scaling,
-                                     inference_dtype=inference_dtype,
-                                     reset_first=True)
+        return make_eval_window_step(
+            model, criteria, flow_scaling,
+            inference_dtype=inference_dtype, reset_first=True,
+            extras=_window_metrics if _use_extras else None,
+        )
 
     _window_step = [_make_window_step()]
     wbuf = []  # buffered batches of the in-flight window (windowed mode)
+    window_mets = None  # in-program metrics of the last dispatched window
     vstate_stale = False  # True: last window's state awaits its in-program reset
 
     if windowed:
@@ -237,6 +279,12 @@ def test(args, config_parser: YAMLParser):
 
     passes_done = 0  # host-side mirror of vstate.pass_idx (avoids syncs)
 
+    # wall-clock attribution of the consumer loop (printed with
+    # vis.verbose; negligible overhead otherwise)
+    from taming_event_flow_tpu.utils.diagnostics import SectionTimer
+
+    tm = SectionTimer()
+
     def run_pass(b):
         """One fused forward+update dispatch (the per-pass path)."""
         nonlocal vstate, carry, passes_done, vstate_stale
@@ -255,28 +303,61 @@ def test(args, config_parser: YAMLParser):
         passes_done += 1
         return flow_fine
 
-    def run_window():
+    def run_window(staged=None):
         """Dispatch the buffered GT window as one jitted program (the
-        program resets the stale slot state itself — ``reset_first``)."""
-        nonlocal vstate, carry, passes_done, vstate_stale
+        program resets the stale slot state itself — ``reset_first``).
+
+        ``staged``: optional pre-stacked, pre-transferred device inputs
+        from the producer thread (overlaps the stack + H2D wire time with
+        the previous window's device compute); ignored unless its event
+        width still matches the live bucket."""
+        nonlocal vstate, carry, passes_done, vstate_stale, window_mets
         vstate_stale = False
-        xs = jnp.asarray(np.stack([b["net_input"] for b in wbuf]))
-        evs = np.stack([b["event_list"] for b in wbuf])
-        pols = np.stack([b["event_list_pol_mask"] for b in wbuf])
-        emasks = jnp.asarray(np.stack([b["event_mask"] for b in wbuf]))
-        if eval_mesh is not None:
-            evs, pols = shard_eval_window(evs, pols, eval_mesh)
+        if staged is not None and staged[1].shape[2] == criteria.n_events:
+            xs, evs, pols, emasks, aux = staged
         else:
-            evs, pols = jnp.asarray(evs), jnp.asarray(pols)
-        vstate, carry, flow_fine = _window_step[0](
-            vstate, carry, params, xs, evs, pols, emasks
-        )
+            with tm("window_stack"):
+                xs = np.stack([b["net_input"] for b in wbuf])
+                evs = np.stack([b["event_list"] for b in wbuf])
+                pols = np.stack([b["event_list_pol_mask"] for b in wbuf])
+                emasks = np.stack([b["event_mask"] for b in wbuf])
+            with tm("window_h2d"):
+                xs, emasks = jnp.asarray(xs), jnp.asarray(emasks)
+                if eval_mesh is not None:
+                    evs, pols = shard_eval_window(evs, pols, eval_mesh)
+                else:
+                    evs, pols = jnp.asarray(evs), jnp.asarray(pols)
+                aux = (jnp.asarray(wbuf[-1]["gtflow"])
+                       if (_use_extras and _aee_in_program) else 0.0)
+        with tm("window_call"):
+            if _use_extras:
+                vstate, carry, flow_fine, window_mets = _window_step[0](
+                    vstate, carry, params, xs, evs, pols, emasks, aux
+                )
+            else:
+                vstate, carry, flow_fine = _window_step[0](
+                    vstate, carry, params, xs, evs, pols, emasks
+                )
         passes_done = passes
         wbuf.clear()
         return flow_fine
 
     from taming_event_flow_tpu.utils import ProgressBar
     from taming_event_flow_tpu.data.prefetch import Prefetcher
+
+    def _stage_window(bufs):
+        """Stack a clean P-pass window and start its H2D transfers (from
+        the producer thread — ``jnp.asarray`` is async, so the wire time
+        overlaps the consumer's device dispatches)."""
+        aux = (jnp.asarray(bufs[-1]["gtflow"])
+               if (_use_extras and _aee_in_program) else 0.0)
+        return (
+            jnp.asarray(np.stack([b["net_input"] for b in bufs])),
+            jnp.asarray(np.stack([b["event_list"] for b in bufs])),
+            jnp.asarray(np.stack([b["event_list_pol_mask"] for b in bufs])),
+            jnp.asarray(np.stack([b["event_mask"] for b in bufs])),
+            aux,
+        )
 
     def batch_stream():
         """Produce (batch, metadata) with all loader state snapshotted at
@@ -287,7 +368,18 @@ def test(args, config_parser: YAMLParser):
         right here makes the flag batch-scoped — exactly the consumer-side
         ``clear_ts_jump()`` timing of the synchronous loop (the reference
         evaluator's global-flag protocol, reference ``eval_flow.py:75-88``).
+
+        On the windowed fast path (static event bucket, no event mesh) the
+        producer additionally mirrors the consumer's window-grouping state
+        machine: every P-th clean batch carries ``meta["staged"]`` — the
+        stacked window, already in flight to the device.
         """
+        stage = bool(
+            windowed and eval_mesh is None
+            and config["loader"].get("n_events_pad")
+        )
+        pbuf = []  # producer's mirror of the consumer's wbuf
+        pd = 0  # mirror of the consumer's passes_done
         while True:
             b = data.next_batch()
             if b["ts_jump_reset"].any():
@@ -298,6 +390,26 @@ def test(args, config_parser: YAMLParser):
                 "end_test": data.seq_num >= len(data.files),
                 "bar_iters": data.get_iters(data.lanes[0]),
             }
+            if stage and not meta["end_test"]:
+                if b["new_seq"].any():
+                    pbuf.clear()
+                    pd = 0
+                if (config["data"]["mode"] == "gtflow"
+                        and b["ts_jump_reset"].any()):
+                    # consumer flushes its buffer per-pass, then finishes
+                    # the window per-pass — no staging until the boundary
+                    pd = len(pbuf)
+                    pbuf.clear()
+                if pd == 0:
+                    pbuf.append(b)
+                    if len(pbuf) == passes:
+                        meta["staged"] = _stage_window(pbuf)
+                        pbuf.clear()
+                        pd = passes
+                else:
+                    pd += 1
+                if pd == passes:
+                    pd = 0
             yield b, meta
             if meta["end_test"]:
                 return
@@ -305,10 +417,19 @@ def test(args, config_parser: YAMLParser):
     bar = None
     bar_name = None
 
+
+    def _timed_stream(it):
+        while True:
+            with tm("wait_batch"):
+                item = next(it, None)
+            if item is None:
+                return
+            yield item
+
     val_results = {}
     prefetcher = Prefetcher(batch_stream(), depth=3)
     try:
-        for batch, meta in prefetcher:
+        for batch, meta in _timed_stream(iter(prefetcher)):
             sequence = meta["sequence"]
 
             if config["vis"].get("bars"):
@@ -374,9 +495,11 @@ def test(args, config_parser: YAMLParser):
                 wbuf.append(batch)
                 flow_fine = None
                 if len(wbuf) == passes:
-                    flow_fine = run_window()
+                    with tm("window_dispatch"):
+                        flow_fine = run_window(meta.get("staged"))
             else:
-                flow_fine = run_pass(batch)
+                with tm("pass_dispatch"):
+                    flow_fine = run_pass(batch)
 
             flow_vis = None
             if want_vis("flow") or want_vis("iwe"):
@@ -437,7 +560,24 @@ def test(args, config_parser: YAMLParser):
                     lo, hi = metrics_cfg["eval_time"]
                     compute = lo <= t <= hi
 
-                if compute:
+                if compute and window_mets is not None:
+                    # metrics were computed inside the window program —
+                    # readbacks only (scalars + the flow_bw map)
+                    with tm("mets_readback"):
+                        if "flow_bw" in window_mets:
+                            vis.data["flow_bw"] = np.asarray(
+                                window_mets["flow_bw"])
+                        if "aee" in window_mets:
+                            val_results[sequence]["AEE"]["metric"] += float(
+                                window_mets["aee"])
+                            val_results[sequence]["AEE"]["it"] += 1
+                        for metric in metric_names:
+                            key = metric.lower()
+                            if key in ("rsat", "fwl"):
+                                val_results[sequence][metric][
+                                    "metric"] += float(window_mets[key])
+                                val_results[sequence][metric]["it"] += 1
+                elif compute:
                     if (
                         config["data"]["mode"] == "gtflow"
                         and "AEE" in metric_names
@@ -446,32 +586,36 @@ def test(args, config_parser: YAMLParser):
                         mask_aee = None
                         if metrics_cfg.get("mask_aee"):
                             mask_aee = _reducers[0]["window_events"](vstate)
-                        flow_bw = (
-                            criteria.window_flow(vstate, mode="backward", mask=False)
-                            * passes
-                        )
-                        vis.data["flow_bw"] = np.asarray(flow_bw)
-                        aee = compute_aee(
-                            flow_bw, jnp.asarray(batch["gtflow"]),
-                            event_mask=mask_aee,
-                            res_aee=metrics_cfg.get("res_aee"),
-                            vertical_crop_aee=metrics_cfg.get("vertical_crop_aee"),
-                        )
-                        val_results[sequence]["AEE"]["metric"] += float(aee)
+                        with tm("flow_bw_block"):
+                            flow_bw = (
+                                criteria.window_flow(vstate, mode="backward", mask=False)
+                                * passes
+                            )
+                            vis.data["flow_bw"] = np.asarray(flow_bw)
+                        with tm("aee"):
+                            aee = compute_aee(
+                                flow_bw, jnp.asarray(batch["gtflow"]),
+                                event_mask=mask_aee,
+                                res_aee=metrics_cfg.get("res_aee"),
+                                vertical_crop_aee=metrics_cfg.get("vertical_crop_aee"),
+                            )
+                            val_results[sequence]["AEE"]["metric"] += float(aee)
                         val_results[sequence]["AEE"]["it"] += 1
 
-                    for metric in metric_names:
-                        if metric == "RSAT":
-                            val_results[sequence][metric]["metric"] += float(
-                                _reducers[0]["rsat"](vstate)[0]
-                            )
-                            val_results[sequence][metric]["it"] += 1
-                        elif metric == "FWL":
-                            val_results[sequence][metric]["metric"] += float(
-                                _reducers[0]["fwl"](vstate)
-                            )
-                            val_results[sequence][metric]["it"] += 1
+                    with tm("rsat_fwl"):
+                        for metric in metric_names:
+                            if metric == "RSAT":
+                                val_results[sequence][metric]["metric"] += float(
+                                    _reducers[0]["rsat"](vstate)[0]
+                                )
+                                val_results[sequence][metric]["it"] += 1
+                            elif metric == "FWL":
+                                val_results[sequence][metric]["metric"] += float(
+                                    _reducers[0]["fwl"](vstate)
+                                )
+                                val_results[sequence][metric]["it"] += 1
 
+                window_mets = None
                 if windowed:
                     vstate_stale = True  # next window's program resets it
                 else:
@@ -479,13 +623,17 @@ def test(args, config_parser: YAMLParser):
                 passes_done = 0
 
             if config["vis"].get("enabled") or config["vis"].get("store"):
-                vis.data["flow"] = flow_vis
-                vis.step(
-                    batch, sequence=sequence, ts=meta["ts"],
-                    show=config["vis"].get("show"),
-                )
+                with tm("vis_step"):
+                    vis.data["flow"] = flow_vis
+                    vis.step(
+                        batch, sequence=sequence, ts=meta["ts"],
+                        show=config["vis"].get("show"),
+                    )
     finally:
         prefetcher.close()
+
+    if config["vis"].get("verbose"):
+        print(tm.report())
 
     results = {}
     for metric in metric_names:

@@ -168,7 +168,8 @@ def make_eval_step(model, val, flow_scaling: float = 32.0,
 
 def make_eval_window_step(model, val, flow_scaling: float = 32.0,
                           inference_dtype=None,
-                          reset_first: bool = False) -> Callable:
+                          reset_first: bool = False,
+                          extras: Optional[Callable] = None) -> Callable:
     """Whole-window inference: ALL P fused (forward + update) pass bodies
     of :func:`make_eval_step`, python-unrolled inside ONE jitted program.
 
@@ -196,10 +197,18 @@ def make_eval_window_step(model, val, flow_scaling: float = 32.0,
         Saves the separate reset dispatch, and XLA dead-code-eliminates
         the zeroing of every slot buffer the window fully overwrites.
         Idempotent on an already-fresh state.
+    :param extras: optional ``(final_vstate, aux) -> pytree`` computing
+        window-boundary quantities (metric scalars, the accumulated
+        backward flow map) INSIDE the program. One dispatch and a scalar
+        readback replace the separate post-window reducer dispatches that
+        otherwise serialize with the host (measured ~2 s/window of
+        blocking on the tunneled dev TPU). The signature grows a trailing
+        ``aux`` argument (e.g. the window's GT flow; pass ``0.0`` when
+        unused) and a 4th return value.
     """
     passes = val.cfg.passes
 
-    def window(vstate, carry, params, xs, evs, pols, emasks):
+    def window(vstate, carry, params, xs, evs, pols, emasks, aux=None):
         if reset_first:
             vstate = val.reset(vstate)
         if inference_dtype is not None:
@@ -217,6 +226,8 @@ def make_eval_window_step(model, val, flow_scaling: float = 32.0,
             flow_fine = flows[-1].astype(jnp.float32) * flow_scaling
             vstate = val.update(vstate, flow_fine, evs[k], pols[k],
                                 emasks[k], n_active=k + 1)
+        if extras is not None:
+            return vstate, carry, flow_fine, extras(vstate, aux)
         return vstate, carry, flow_fine
 
     return jax.jit(window, donate_argnums=(0, 1))

@@ -58,3 +58,46 @@ def annotate(name: str):
 
     with jax.profiler.TraceAnnotation(name):
         yield
+
+
+class SectionTimer:
+    """Accumulating wall-clock breakdown of a host loop.
+
+    The eval/train loops interleave host work (loader waits, numpy
+    assembly), async device dispatches, and blocking readbacks; a device
+    profile shows none of the host side. ``SectionTimer`` attributes wall
+    time to named sections with near-zero overhead::
+
+        tm = SectionTimer()
+        with tm("wait_batch"):
+            batch = next(stream)
+        ...
+        print(tm.report())
+    """
+
+    def __init__(self):
+        self.totals: dict = {}
+        self.counts: dict = {}
+
+    @contextlib.contextmanager
+    def __call__(self, name: str):
+        import time
+
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            dt = time.perf_counter() - t0
+            self.totals[name] = self.totals.get(name, 0.0) + dt
+            self.counts[name] = self.counts.get(name, 0) + 1
+
+    def report(self) -> str:
+        total = sum(self.totals.values())
+        lines = [f"section breakdown ({total:.2f}s timed):"]
+        for name, t in sorted(self.totals.items(), key=lambda kv: -kv[1]):
+            n = self.counts[name]
+            lines.append(
+                f"  {name:24s} {t:9.2f}s  ({t / max(n, 1) * 1e3:8.2f} ms "
+                f"x {n})"
+            )
+        return "\n".join(lines)

@@ -174,6 +174,37 @@ def test_warm_start_resume(trained_run):
     assert len(lines) >= 2  # replayed history + new epochs
 
 
+def test_eval_in_program_metrics_matches_sharded(trained_run, tmp_path):
+    """The windowed fast path folds RSAT/FWL/AEE + flow_bw into the window
+    program (``make_eval_window_step(extras=...)``) on single-device runs;
+    the 8-device conftest mesh instead takes the event-sharded reducer
+    path. Force the single-device path (event cap not divisible by the
+    device count -> no mesh) and assert both paths produce the same
+    metrics."""
+    root, ds, runid = trained_run
+    from taming_event_flow_tpu.configs import YAMLParser
+    import eval_flow
+
+    def run(cfg_path, tag):
+        args = argparse.Namespace(
+            runid=runid, config=cfg_path, path_mlflow=str(root),
+            path_results=str(tmp_path / f"results_{tag}") + "/",
+        )
+        return eval_flow.test(args, YAMLParser(cfg_path))
+
+    base = yaml.safe_load(open(make_eval_cfg(tmp_path, ds)))
+    # indivisible cap -> eval_mesh stays None -> extras path
+    base["loader"]["n_events_pad"] = 1001
+    ref = run(write_cfg(tmp_path / "eval_extras.yml", base), "extras")
+    base["loader"]["n_events_pad"] = 1024  # divisible by 8 -> sharded path
+    shd = run(write_cfg(tmp_path / "eval_sharded.yml", base), "sharded")
+
+    for metric in ("FWL", "RSAT", "AEE"):
+        for seq in ref[metric]:
+            a, b = float(ref[metric][seq]), float(shd[metric][seq])
+            assert np.isfinite(a) and abs(a - b) < 5e-4, (metric, seq, a, b)
+
+
 def test_eval_handles_ts_jump(trained_run, tmp_path):
     """Eval CLI on a sequence with a GT temporal discontinuity: the loader
     flags ts_jump_reset, the (prefetched) eval loop flushes buffered passes

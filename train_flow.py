@@ -161,8 +161,13 @@ def train(args, config_parser: YAMLParser):
         }
         restored, epoch = load_checkpoint(args.prev_runid, template)
         if restored is not None:
+            # commit the restored (numpy) trees to the device ONCE: numpy
+            # leaves passed to jit force the slow python dispatch path and
+            # re-upload params + Adam moments on EVERY step (the mesh paths
+            # below re-place the state with their own shardings anyway)
             state = TrainState(
-                restored["params"], restored["opt_state"], state.carry,
+                jax.device_put(restored["params"]),
+                jax.device_put(restored["opt_state"]), state.carry,
                 jnp.asarray(restored["step"]),
             )
             # replay prior loss history into the new run
