@@ -277,8 +277,16 @@ def train(args, config_parser: YAMLParser):
                                ``data.samples`` once per optimizer step,
                                inside the ``num_passes >= passes_loss``
                                guard — ``train_flow.py:119-121``)
-        ("window", w, meta)  — a full pass-stacked window (host numpy)
+        ("window", w, meta)  — a full pass-stacked window. On the
+                               single-device path the producer also starts
+                               the window's H2D transfers (async
+                               ``jnp.asarray`` from the prefetch thread),
+                               so the wire time overlaps the in-flight
+                               train step; mesh/multihost paths place
+                               windows with their own shardings and stay
+                               host-side here.
         """
+        device_stage = not multihost and mesh is None and event_mesh is None
         window_batches = []
         windows_in_epoch = 0
         while True:
@@ -313,11 +321,19 @@ def train(args, config_parser: YAMLParser):
                 continue
 
             window = stack_window(window_batches)
+            if device_stage:
+                window = {k: jnp.asarray(v) for k, v in window.items()}
             window_batches = []
             windows_in_epoch += 1
             yield ("window", window, (data.epoch, data.seq_num))
 
     from taming_event_flow_tpu.data.prefetch import Prefetcher
+
+    # wall-clock attribution of the consumer loop (printed with
+    # vis.verbose; negligible overhead otherwise)
+    from taming_event_flow_tpu.utils.diagnostics import SectionTimer
+
+    tm = SectionTimer()
 
     train_loss, best_loss = 0.0, 1.0e6
     windows_done = 0
@@ -327,9 +343,10 @@ def train(args, config_parser: YAMLParser):
 
     def drain(limit):
         nonlocal train_loss, windows_done
-        while len(pending) > limit:
-            train_loss += float(pending.pop(0))
-            windows_done += 1
+        with tm("loss_readback"):
+            while len(pending) > limit:
+                train_loss += float(pending.pop(0))
+                windows_done += 1
 
     # multihost: the producer issues the flag-exchange collective, so it
     # must run inline on the main thread — a prefetch thread would
@@ -338,8 +355,17 @@ def train(args, config_parser: YAMLParser):
         window_stream() if multihost
         else Prefetcher(window_stream(), depth=3)
     )
+    def _timed_events(it):
+        it = iter(it)
+        while True:
+            with tm("wait_window"):
+                ev = next(it, None)
+            if ev is None:
+                return
+            yield ev
+
     try:
-        for event in prefetcher:
+        for event in _timed_events(prefetcher):
             if event[0] == "reset":
                 drain(1)
                 state = state._replace(
@@ -366,20 +392,24 @@ def train(args, config_parser: YAMLParser):
                 windows_done = 0
             else:
                 _, window, (epoch_num, seq_num) = event
-                if multihost:
-                    from taming_event_flow_tpu.parallel import (
-                        globalize_window,
-                    )
+                with tm("window_place"):
+                    if multihost:
+                        from taming_event_flow_tpu.parallel import (
+                            globalize_window,
+                        )
 
-                    window = globalize_window(window, event_mesh, batch_size)
-                else:
-                    window = {k: jnp.asarray(v) for k, v in window.items()}
-                    if event_mesh is not None:
-                        window = shard_window_2d(window, event_mesh)
-                    elif mesh is not None:
-                        window = shard_window(window, mesh)
+                        window = globalize_window(
+                            window, event_mesh, batch_size)
+                    else:
+                        window = {k: jnp.asarray(v)
+                                  for k, v in window.items()}
+                        if event_mesh is not None:
+                            window = shard_window_2d(window, event_mesh)
+                        elif mesh is not None:
+                            window = shard_window(window, mesh)
 
-                state, loss = step_fn(state, window)
+                with tm("step_dispatch"):
+                    state, loss = step_fn(state, window)
                 pending.append(loss)
                 drain(1)
                 meter.tick()
@@ -401,6 +431,8 @@ def train(args, config_parser: YAMLParser):
     finally:
         if hasattr(prefetcher, "close"):
             prefetcher.close()
+    if config["vis"].get("verbose"):
+        print("\n" + tm.report())
     if tb is not None:
         tb.close()
     if is_main:
