@@ -315,20 +315,18 @@ def test(args, config_parser: YAMLParser):
         vstate_stale = False
         if staged is not None and staged[1].shape[2] == criteria.n_events:
             xs, evs, pols, emasks, aux = staged
+        elif eval_mesh is None:
+            with tm("window_assemble"):
+                xs, evs, pols, emasks, aux = _stage_window(wbuf)
         else:
-            with tm("window_stack"):
-                xs = np.stack([b["net_input"] for b in wbuf])
+            with tm("window_assemble"):
+                xs = jnp.asarray(np.stack([b["net_input"] for b in wbuf]))
+                emasks = jnp.asarray(
+                    np.stack([b["event_mask"] for b in wbuf]))
                 evs = np.stack([b["event_list"] for b in wbuf])
                 pols = np.stack([b["event_list_pol_mask"] for b in wbuf])
-                emasks = np.stack([b["event_mask"] for b in wbuf])
-            with tm("window_h2d"):
-                xs, emasks = jnp.asarray(xs), jnp.asarray(emasks)
-                if eval_mesh is not None:
-                    evs, pols = shard_eval_window(evs, pols, eval_mesh)
-                else:
-                    evs, pols = jnp.asarray(evs), jnp.asarray(pols)
-                aux = (jnp.asarray(wbuf[-1]["gtflow"])
-                       if (_use_extras and _aee_in_program) else 0.0)
+                evs, pols = shard_eval_window(evs, pols, eval_mesh)
+                aux = 0.0  # extras are off on the sharded path
         with tm("window_call"):
             if _use_extras:
                 vstate, carry, flow_fine, window_mets = _window_step[0](
@@ -397,8 +395,11 @@ def test(args, config_parser: YAMLParser):
                 if (config["data"]["mode"] == "gtflow"
                         and b["ts_jump_reset"].any()):
                     # consumer flushes its buffer per-pass, then finishes
-                    # the window per-pass — no staging until the boundary
-                    pd = len(pbuf)
+                    # the window per-pass — no staging until the boundary.
+                    # pd ACCUMULATES (+=): a second jump during per-pass
+                    # recovery must not reset the mirror while the
+                    # consumer's passes_done keeps counting
+                    pd += len(pbuf)
                     pbuf.clear()
                 if pd == 0:
                     pbuf.append(b)
@@ -418,18 +419,10 @@ def test(args, config_parser: YAMLParser):
     bar_name = None
 
 
-    def _timed_stream(it):
-        while True:
-            with tm("wait_batch"):
-                item = next(it, None)
-            if item is None:
-                return
-            yield item
-
     val_results = {}
     prefetcher = Prefetcher(batch_stream(), depth=3)
     try:
-        for batch, meta in _timed_stream(iter(prefetcher)):
+        for batch, meta in tm.wrap(prefetcher, "wait_batch"):
             sequence = meta["sequence"]
 
             if config["vis"].get("bars"):
@@ -572,10 +565,13 @@ def test(args, config_parser: YAMLParser):
                                 window_mets["aee"])
                             val_results[sequence]["AEE"]["it"] += 1
                         for metric in metric_names:
-                            key = metric.lower()
-                            if key in ("rsat", "fwl"):
+                            if metric == "RSAT" and "rsat" in window_mets:
                                 val_results[sequence][metric][
-                                    "metric"] += float(window_mets[key])
+                                    "metric"] += float(window_mets["rsat"])
+                                val_results[sequence][metric]["it"] += 1
+                            elif metric == "FWL" and "fwl" in window_mets:
+                                val_results[sequence][metric][
+                                    "metric"] += float(window_mets["fwl"])
                                 val_results[sequence][metric]["it"] += 1
                 elif compute:
                     if (

@@ -60,6 +60,9 @@ def annotate(name: str):
         yield
 
 
+_SENTINEL = object()
+
+
 class SectionTimer:
     """Accumulating wall-clock breakdown of a host loop.
 
@@ -90,6 +93,17 @@ class SectionTimer:
             dt = time.perf_counter() - t0
             self.totals[name] = self.totals.get(name, 0.0) + dt
             self.counts[name] = self.counts.get(name, 0) + 1
+
+    def wrap(self, iterable, name: str):
+        """Yield from ``iterable``, attributing each ``next()`` wait to
+        ``name`` (e.g. time spent blocked on a prefetch producer)."""
+        it = iter(iterable)
+        while True:
+            with self(name):
+                item = next(it, _SENTINEL)
+            if item is _SENTINEL:
+                return
+            yield item
 
     def report(self) -> str:
         total = sum(self.totals.values())

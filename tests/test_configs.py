@@ -74,13 +74,18 @@ def test_apply_runtime_compilation_cache(tmp_path):
     from taming_event_flow_tpu.configs import YAMLParser
 
     cache = tmp_path / "xla_cache"
-    old = jax.config.jax_compilation_cache_dir
+    old_dir = jax.config.jax_compilation_cache_dir
+    old_min = jax.config.jax_persistent_cache_min_compile_time_secs
     try:
         YAMLParser.apply_runtime(
             {"runtime": {"compilation_cache": str(cache)}}
         )
         assert jax.config.jax_compilation_cache_dir == str(cache)
-        # populated on first compile
+        # a trivial CPU compile can finish under apply_runtime's 0.1 s
+        # write threshold — drop it to 0 so the write-path assertion is
+        # deterministic (what's under test is the dir wiring, not the
+        # threshold policy)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
         f = jax.jit(lambda x: x * 2 + 1)
         f(np.ones((64, 64))).block_until_ready()
         assert cache.is_dir() and len(list(cache.iterdir())) >= 1
@@ -88,4 +93,6 @@ def test_apply_runtime_compilation_cache(tmp_path):
         YAMLParser.apply_runtime({})
         assert jax.config.jax_compilation_cache_dir == str(cache)
     finally:
-        jax.config.update("jax_compilation_cache_dir", old)
+        jax.config.update("jax_compilation_cache_dir", old_dir)
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", old_min)

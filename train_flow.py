@@ -355,17 +355,8 @@ def train(args, config_parser: YAMLParser):
         window_stream() if multihost
         else Prefetcher(window_stream(), depth=3)
     )
-    def _timed_events(it):
-        it = iter(it)
-        while True:
-            with tm("wait_window"):
-                ev = next(it, None)
-            if ev is None:
-                return
-            yield ev
-
     try:
-        for event in _timed_events(prefetcher):
+        for event in tm.wrap(prefetcher, "wait_window"):
             if event[0] == "reset":
                 drain(1)
                 state = state._replace(
