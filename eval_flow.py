@@ -177,10 +177,11 @@ def test(args, config_parser: YAMLParser):
         inference_dtype = jnp.bfloat16
 
     def _make_step():
-        return make_eval_step(model, criteria, flow_scaling,
-                              inference_dtype=inference_dtype)
-
-    _eval_step = [_make_step()]
+        return make_eval_step(
+            model, criteria, flow_scaling,
+            inference_dtype=inference_dtype,
+            extras=_window_metrics if _pass_extras else None,
+        )
 
     # ---- windowed fast path: recorded protocols whose displayed/stored
     # quantities are all window-level (e.g. the DSEC submission config,
@@ -211,6 +212,16 @@ def test(args, config_parser: YAMLParser):
     _use_extras = (
         windowed and eval_mesh is None and "eval_time" not in metrics_cfg
     )
+    # per-pass path: the host knows the batch timestamp before dispatch,
+    # so eval_time-gated protocols pick the fused-metrics program only on
+    # in-window boundary passes (zero waste on gated-out passes)
+    _pass_extras = eval_mesh is None
+
+    def _in_eval_time(ts) -> bool:
+        if "eval_time" not in metrics_cfg:
+            return True
+        lo, hi = metrics_cfg["eval_time"]
+        return lo <= ts <= hi
 
     def _window_metrics(vstate, gtflow):
         out = {}
@@ -233,6 +244,8 @@ def test(args, config_parser: YAMLParser):
                 vertical_crop_aee=metrics_cfg.get("vertical_crop_aee"),
             )
         return out
+
+    _eval_step = [_make_step()]
 
     def _make_window_step():
         if not windowed:
@@ -262,18 +275,33 @@ def test(args, config_parser: YAMLParser):
                 make_sharded_reducers,
             )
 
-            return make_sharded_reducers(criteria, eval_mesh, vstate)
-        return {
-            "fwl": jax.jit(criteria.fwl),
-            "rsat": jax.jit(criteria.rsat),
-            "window_events": jax.jit(criteria.window_events),
-            "window_iwe_fw": jax.jit(
-                partial(criteria.window_iwe, mode="forward")
-            ),
-            "window_iwe_bw": jax.jit(
-                partial(criteria.window_iwe, mode="backward")
-            ),
-        }
+            d = make_sharded_reducers(criteria, eval_mesh, vstate)
+        else:
+            d = {
+                "fwl": jax.jit(criteria.fwl),
+                "rsat": jax.jit(criteria.rsat),
+                "window_events": jax.jit(criteria.window_events),
+                "window_iwe_fw": jax.jit(
+                    partial(criteria.window_iwe, mode="forward")
+                ),
+                "window_iwe_bw": jax.jit(
+                    partial(criteria.window_iwe, mode="backward")
+                ),
+            }
+        # pixel-space reducers (replicated accumulators — safe under the
+        # event mesh too). Jitted: the eager forms cost 21 + 31 ms/call on
+        # the per-pass path (MVSEC protocol) vs 8 + 8 jitted.
+        d["window_flow_bw"] = jax.jit(
+            partial(criteria.window_flow, mode="backward", mask=False)
+        )
+        d["aee"] = jax.jit(
+            partial(
+                compute_aee,
+                res_aee=metrics_cfg.get("res_aee"),
+                vertical_crop_aee=metrics_cfg.get("vertical_crop_aee"),
+            )
+        )
+        return d
 
     _reducers = [_make_reducers()]
 
@@ -285,9 +313,13 @@ def test(args, config_parser: YAMLParser):
 
     tm = SectionTimer()
 
-    def run_pass(b):
-        """One fused forward+update dispatch (the per-pass path)."""
-        nonlocal vstate, carry, passes_done, vstate_stale
+    def run_pass(b, meta=None):
+        """One fused forward+update dispatch (the per-pass path).
+
+        On an in-``eval_time`` boundary pass (known host-side from the
+        batch metadata) the fused-metrics specialization runs instead,
+        returning the window quantities with the same dispatch."""
+        nonlocal vstate, carry, passes_done, vstate_stale, window_mets
         if vstate_stale:
             vstate = fresh_state(vstate)
             vstate_stale = False
@@ -295,11 +327,23 @@ def test(args, config_parser: YAMLParser):
         pol_in = jnp.asarray(b["event_list_pol_mask"])
         if eval_mesh is not None:
             ev_in, pol_in = shard_eval_batch(ev_in, pol_in, eval_mesh)
-        vstate, carry, flow_fine = _eval_step[0](
+        want = (
+            _pass_extras
+            and meta is not None
+            and passes_done + 1 == passes
+            and _in_eval_time(meta["ts"])
+        )
+        aux = (jnp.asarray(b["gtflow"])
+               if (want and _aee_in_program) else 0.0)
+        out = _eval_step[0](
             vstate, carry, params, jnp.asarray(b["net_input"]),
             ev_in, pol_in, jnp.asarray(b["event_mask"]),
-            n_active=passes_done + 1,
+            n_active=passes_done + 1, aux=aux, with_extras=want,
         )
+        if want:
+            vstate, carry, flow_fine, window_mets = out
+        else:
+            vstate, carry, flow_fine = out
         passes_done += 1
         return flow_fine
 
@@ -492,7 +536,7 @@ def test(args, config_parser: YAMLParser):
                         flow_fine = run_window(meta.get("staged"))
             else:
                 with tm("pass_dispatch"):
-                    flow_fine = run_pass(batch)
+                    flow_fine = run_pass(batch, meta)
 
             flow_vis = None
             if want_vis("flow") or want_vis("iwe"):
@@ -584,16 +628,14 @@ def test(args, config_parser: YAMLParser):
                             mask_aee = _reducers[0]["window_events"](vstate)
                         with tm("flow_bw_block"):
                             flow_bw = (
-                                criteria.window_flow(vstate, mode="backward", mask=False)
+                                _reducers[0]["window_flow_bw"](vstate)
                                 * passes
                             )
                             vis.data["flow_bw"] = np.asarray(flow_bw)
                         with tm("aee"):
-                            aee = compute_aee(
+                            aee = _reducers[0]["aee"](
                                 flow_bw, jnp.asarray(batch["gtflow"]),
                                 event_mask=mask_aee,
-                                res_aee=metrics_cfg.get("res_aee"),
-                                vertical_crop_aee=metrics_cfg.get("vertical_crop_aee"),
                             )
                             val_results[sequence]["AEE"]["metric"] += float(aee)
                         val_results[sequence]["AEE"]["it"] += 1

@@ -115,7 +115,8 @@ def make_forward_fn(model, flow_scaling: float = 32.0) -> Callable:
 
 
 def make_eval_step(model, val, flow_scaling: float = 32.0,
-                   inference_dtype=None) -> Callable:
+                   inference_dtype=None,
+                   extras: Optional[Callable] = None) -> Callable:
     """Fused inference pass: model forward + validation update in ONE jitted
     program per occupied-slot count, with the recurrent carry and the slot
     state donated.
@@ -135,12 +136,18 @@ def make_eval_step(model, val, flow_scaling: float = 32.0,
         stays full precision). Measured 6.6 -> 5.9 ms at 480x640 with
         <=0.14 px flow perturbation; run the AEE study
         (``scripts/study_bf16_eval.py``) before enabling on a protocol.
+    :param extras: optional ``(updated_vstate, aux) -> pytree`` of
+        window-boundary quantities, fused into the pass program ON REQUEST
+        (``step(..., aux=gt, with_extras=True)`` returns a 4th value). The
+        caller picks per dispatch — e.g. only on boundary passes inside an
+        ``eval_time`` gate — so gated-out passes pay nothing. One compiled
+        specialization per (n_active, with_extras) pair.
     """
     import functools
 
     cache = {}
 
-    def body(k, vstate, carry, params, x, ev, pol, emask):
+    def body(k, want, vstate, carry, params, x, ev, pol, emask, aux=None):
         if inference_dtype is not None:
             params = jax.tree.map(
                 lambda p: p.astype(inference_dtype), params
@@ -153,14 +160,20 @@ def make_eval_step(model, val, flow_scaling: float = 32.0,
                                        train=False)
         flow_fine = flows[-1].astype(jnp.float32) * flow_scaling
         vs = val.update(vstate, flow_fine, ev, pol, emask, n_active=k)
+        if want:
+            return vs, new_carry, flow_fine, extras(vs, aux)
         return vs, new_carry, flow_fine
 
-    def step(vstate, carry, params, x, ev, pol, emask, n_active):
-        fn = cache.get(n_active)
+    def step(vstate, carry, params, x, ev, pol, emask, n_active,
+             aux=None, with_extras=False):
+        want = bool(with_extras and extras is not None)
+        fn = cache.get((n_active, want))
         if fn is None:
-            fn = jax.jit(functools.partial(body, n_active),
+            fn = jax.jit(functools.partial(body, n_active, want),
                          donate_argnums=(0, 1))
-            cache[n_active] = fn
+            cache[(n_active, want)] = fn
+        if want:
+            return fn(vstate, carry, params, x, ev, pol, emask, aux)
         return fn(vstate, carry, params, x, ev, pol, emask)
 
     return step

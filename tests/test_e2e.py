@@ -205,6 +205,43 @@ def test_eval_in_program_metrics_matches_sharded(trained_run, tmp_path):
             assert np.isfinite(a) and abs(a - b) < 5e-4, (metric, seq, a, b)
 
 
+def test_eval_per_pass_fused_metrics_matches_sharded(trained_run, tmp_path):
+    """MVSEC-style protocol (passes_loss=1, eval_time gate, masked/cropped
+    AEE) runs the per-pass path, where in-window boundary passes use the
+    fused-metrics step specialization on single-device runs. Assert it
+    matches the event-sharded reducer path."""
+    root, ds, runid = trained_run
+    from taming_event_flow_tpu.configs import YAMLParser
+    import eval_flow
+
+    base = yaml.safe_load(open(make_eval_cfg(tmp_path, ds)))
+    base["data"]["passes_loss"] = 1
+    base["metrics"]["eval_time"] = [0.2, 1.6]
+    base["metrics"]["mask_aee"] = True
+    base["metrics"]["res_aee"] = [24, 24]
+    base["vis"] = {"enabled": False, "store": False, "bars": False}
+
+    def run(n_pad, tag):
+        base["loader"]["n_events_pad"] = n_pad
+        cfg_path = write_cfg(tmp_path / f"eval_pp_{tag}.yml", base)
+        args = argparse.Namespace(
+            runid=runid, config=cfg_path, path_mlflow=str(root),
+            path_results=str(tmp_path / f"results_pp_{tag}") + "/",
+        )
+        return eval_flow.test(args, YAMLParser(cfg_path))
+
+    ref = run(1001, "extras")   # indivisible cap -> no mesh -> fused path
+    shd = run(1024, "sharded")  # divisible by 8 -> sharded reducers
+
+    counted = 0
+    for metric in ("FWL", "RSAT", "AEE"):
+        for seq in ref[metric]:
+            a, b = float(ref[metric][seq]), float(shd[metric][seq])
+            assert np.isfinite(a) and abs(a - b) < 5e-4, (metric, seq, a, b)
+            counted += 1
+    assert counted >= 3  # the gate must admit at least one boundary
+
+
 def test_eval_handles_ts_jump(trained_run, tmp_path):
     """Eval CLI on a sequence with a GT temporal discontinuity: the loader
     flags ts_jump_reset, the (prefetched) eval loop flushes buffered passes
