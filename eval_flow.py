@@ -598,60 +598,74 @@ def test(args, config_parser: YAMLParser):
                     compute = lo <= t <= hi
 
                 if compute and window_mets is not None:
-                    # metrics were computed inside the window program —
-                    # readbacks only (scalars + the flow_bw map)
+                    # metrics were computed inside the window program — ONE
+                    # batched readback (each separate np.asarray/float costs
+                    # a full ~26 ms D2H round trip on the tunneled plugin)
                     with tm("mets_readback"):
-                        if "flow_bw" in window_mets:
-                            vis.data["flow_bw"] = np.asarray(
-                                window_mets["flow_bw"])
-                        if "aee" in window_mets:
-                            val_results[sequence]["AEE"]["metric"] += float(
-                                window_mets["aee"])
-                            val_results[sequence]["AEE"]["it"] += 1
-                        for metric in metric_names:
-                            if metric == "RSAT" and "rsat" in window_mets:
-                                val_results[sequence][metric][
-                                    "metric"] += float(window_mets["rsat"])
-                                val_results[sequence][metric]["it"] += 1
-                            elif metric == "FWL" and "fwl" in window_mets:
-                                val_results[sequence][metric][
-                                    "metric"] += float(window_mets["fwl"])
-                                val_results[sequence][metric]["it"] += 1
+                        host_mets = jax.device_get(window_mets)
+                    if "flow_bw" in host_mets:
+                        vis.data["flow_bw"] = host_mets["flow_bw"]
+                    if "aee" in host_mets:
+                        val_results[sequence]["AEE"]["metric"] += float(
+                            host_mets["aee"])
+                        val_results[sequence]["AEE"]["it"] += 1
+                    for metric in metric_names:
+                        if metric == "RSAT" and "rsat" in host_mets:
+                            val_results[sequence][metric][
+                                "metric"] += float(host_mets["rsat"])
+                            val_results[sequence][metric]["it"] += 1
+                        elif metric == "FWL" and "fwl" in host_mets:
+                            val_results[sequence][metric][
+                                "metric"] += float(host_mets["fwl"])
+                            val_results[sequence][metric]["it"] += 1
                 elif compute:
-                    if (
-                        config["data"]["mode"] == "gtflow"
-                        and "AEE" in metric_names
-                        and "gtflow" in batch
-                    ):
-                        mask_aee = None
-                        if metrics_cfg.get("mask_aee"):
-                            mask_aee = _reducers[0]["window_events"](vstate)
-                        with tm("flow_bw_block"):
+                    # reducer path (event-sharded or growing buckets):
+                    # dispatch every reducer first, then read ALL results
+                    # back in one batched device_get (separate float()s
+                    # each cost a ~26 ms D2H round trip)
+                    with tm("mets_dispatch"):
+                        dev_mets = {}
+                        if (
+                            config["data"]["mode"] == "gtflow"
+                            and "AEE" in metric_names
+                            and "gtflow" in batch
+                        ):
+                            mask_aee = None
+                            if metrics_cfg.get("mask_aee"):
+                                mask_aee = _reducers[0]["window_events"](
+                                    vstate)
                             flow_bw = (
                                 _reducers[0]["window_flow_bw"](vstate)
                                 * passes
                             )
-                            vis.data["flow_bw"] = np.asarray(flow_bw)
-                        with tm("aee"):
-                            aee = _reducers[0]["aee"](
+                            dev_mets["flow_bw"] = flow_bw
+                            dev_mets["aee"] = _reducers[0]["aee"](
                                 flow_bw, jnp.asarray(batch["gtflow"]),
                                 event_mask=mask_aee,
                             )
-                            val_results[sequence]["AEE"]["metric"] += float(aee)
-                        val_results[sequence]["AEE"]["it"] += 1
-
-                    with tm("rsat_fwl"):
                         for metric in metric_names:
                             if metric == "RSAT":
-                                val_results[sequence][metric]["metric"] += float(
-                                    _reducers[0]["rsat"](vstate)[0]
-                                )
-                                val_results[sequence][metric]["it"] += 1
+                                dev_mets["rsat"] = _reducers[0]["rsat"](
+                                    vstate)[0]
                             elif metric == "FWL":
-                                val_results[sequence][metric]["metric"] += float(
-                                    _reducers[0]["fwl"](vstate)
-                                )
-                                val_results[sequence][metric]["it"] += 1
+                                dev_mets["fwl"] = _reducers[0]["fwl"](vstate)
+                    with tm("mets_readback"):
+                        host_mets = jax.device_get(dev_mets)
+                    if "flow_bw" in host_mets:
+                        vis.data["flow_bw"] = host_mets["flow_bw"]
+                    if "aee" in host_mets:
+                        val_results[sequence]["AEE"]["metric"] += float(
+                            host_mets["aee"])
+                        val_results[sequence]["AEE"]["it"] += 1
+                    for metric in metric_names:
+                        if metric == "RSAT" and "rsat" in host_mets:
+                            val_results[sequence][metric]["metric"] += float(
+                                host_mets["rsat"])
+                            val_results[sequence][metric]["it"] += 1
+                        elif metric == "FWL" and "fwl" in host_mets:
+                            val_results[sequence][metric]["metric"] += float(
+                                host_mets["fwl"])
+                            val_results[sequence][metric]["it"] += 1
 
                 window_mets = None
                 if windowed:
