@@ -234,7 +234,10 @@ def test(args, config_parser: YAMLParser):
                 criteria.window_flow(vstate, mode="backward", mask=False)
                 * passes
             )
-            out["flow_bw"] = flow_bw
+            if want_vis("flow_bw"):
+                # the map transfer (~40 ms D2H for 260x346) only pays off
+                # when the vis path consumes it; AEE reads it on-device
+                out["flow_bw"] = flow_bw
             mask = None
             if metrics_cfg.get("mask_aee"):
                 mask = criteria.window_events(vstate)
@@ -638,7 +641,8 @@ def test(args, config_parser: YAMLParser):
                                 _reducers[0]["window_flow_bw"](vstate)
                                 * passes
                             )
-                            dev_mets["flow_bw"] = flow_bw
+                            if want_vis("flow_bw"):
+                                dev_mets["flow_bw"] = flow_bw
                             dev_mets["aee"] = _reducers[0]["aee"](
                                 flow_bw, jnp.asarray(batch["gtflow"]),
                                 event_mask=mask_aee,
