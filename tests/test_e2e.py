@@ -174,6 +174,51 @@ def test_warm_start_resume(trained_run):
     assert len(lines) >= 2  # replayed history + new epochs
 
 
+@pytest.mark.parametrize(
+    "variant",
+    ["voxel", "fire", "linear"],
+)
+def test_train_eval_registry_variants(workspace, tmp_path, variant):
+    """CLI-level smoke across the registry axes the default e2e run does
+    not touch: voxel net input, the FireFlowNet family, and the Linear
+    loss + Linear validation scheme. Each trains 1 epoch and evals;
+    metrics must be finite."""
+    root, ds = workspace
+    os.chdir(root)
+    from taming_event_flow_tpu.configs import YAMLParser
+    import train_flow
+    import eval_flow
+
+    tcfg = yaml.safe_load(open(make_train_cfg(tmp_path, ds)))
+    tcfg["loader"]["n_epochs"] = 1
+    ecfg = yaml.safe_load(open(make_eval_cfg(tmp_path, ds)))
+    if variant == "voxel":
+        tcfg["data"]["voxel"] = 4
+    elif variant == "fire":
+        tcfg["model"] = {"name": "FireFlowNet", "base_channels": 8,
+                         "final_w_scale": 0.01}
+    elif variant == "linear":
+        tcfg["loss"]["warping"] = "Linear"
+        ecfg["metrics"]["warping"] = "Linear"
+
+    tpath = write_cfg(tmp_path / f"train_{variant}.yml", tcfg)
+    args = argparse.Namespace(
+        config=tpath, path_mlflow=str(root), path_cache="", prev_runid=""
+    )
+    runid = train_flow.train(args, YAMLParser(tpath))
+
+    epath = write_cfg(tmp_path / f"eval_{variant}.yml", ecfg)
+    args = argparse.Namespace(
+        runid=runid, config=epath, path_mlflow=str(root),
+        path_results=str(tmp_path / f"results_{variant}") + "/",
+    )
+    results = eval_flow.test(args, YAMLParser(epath))
+    assert results["AEE"], results
+    for metric in results.values():
+        for v in metric.values():
+            assert np.isfinite(float(v))
+
+
 def test_eval_in_program_metrics_matches_sharded(trained_run, tmp_path):
     """The windowed fast path folds RSAT/FWL/AEE + flow_bw into the window
     program (``make_eval_window_step(extras=...)``) on single-device runs;
