@@ -393,14 +393,26 @@ def test(args, config_parser: YAMLParser):
     def _stage_window(bufs):
         """Stack a clean P-pass window and start its H2D transfers (from
         the producer thread — ``jnp.asarray`` is async, so the wire time
-        overlaps the consumer's device dispatches)."""
+        overlaps the consumer's device dispatches).
+
+        Packed wire formats (the window program unpacks; exact by
+        construction): polarity masks ship as bool (4x smaller), and with
+        the count encoding the event mask isn't shipped at all — the
+        program derives it from ``net_input`` (them being aliases is the
+        loader's own construction, data/base.py)."""
         aux = (jnp.asarray(bufs[-1]["gtflow"])
                if (_use_extras and _aee_in_program) else 0.0)
+        emasks = None
+        if config["data"]["voxel"] is not None:
+            # voxel net input: the mask is not derivable — ship it
+            emasks = jnp.asarray(
+                np.stack([b["event_mask"] for b in bufs]))
         return (
             jnp.asarray(np.stack([b["net_input"] for b in bufs])),
             jnp.asarray(np.stack([b["event_list"] for b in bufs])),
-            jnp.asarray(np.stack([b["event_list_pol_mask"] for b in bufs])),
-            jnp.asarray(np.stack([b["event_mask"] for b in bufs])),
+            jnp.asarray(np.stack(
+                [b["event_list_pol_mask"] for b in bufs]).astype(bool)),
+            emasks,
             aux,
         )
 

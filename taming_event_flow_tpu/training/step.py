@@ -224,6 +224,16 @@ def make_eval_window_step(model, val, flow_scaling: float = 32.0,
     def window(vstate, carry, params, xs, evs, pols, emasks, aux=None):
         if reset_first:
             vstate = val.reset(vstate)
+        # packed wire formats from the staging producer: polarity masks
+        # travel as bool; with the count encoding the event mask is
+        # DERIVED here ((cnt_pos + cnt_neg) > 0 — exactly the loader's
+        # construction, data/base.py) instead of shipped (12 MB/window at
+        # DSEC scale). All casts are no-ops for plain f32 inputs.
+        pols = pols.astype(jnp.float32)
+        if emasks is None:
+            emasks = (
+                jnp.sum(xs, axis=-1, keepdims=True) > 0
+            ).astype(jnp.float32)
         if inference_dtype is not None:
             params = jax.tree.map(
                 lambda p: p.astype(inference_dtype), params
