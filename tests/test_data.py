@@ -375,3 +375,31 @@ def test_file_shard_requires_seed_and_enough_files(tmp_path):
                  file_shard=(0, 2))
     with pytest.raises(ValueError, match="partitioned"):
         H5Loader(make_config(str(d)), shuffle=True, file_shard=(0, 2))
+
+
+def test_section_timer_wrap_and_report():
+    """SectionTimer attributes wall time to named sections, wraps
+    iterables (attributing each next() wait), and prints a report."""
+    from taming_event_flow_tpu.utils.diagnostics import SectionTimer
+
+    tm = SectionTimer()
+    with tm("a"):
+        pass
+    with tm("a"):
+        pass
+    assert tm.counts["a"] == 2 and tm.totals["a"] >= 0.0
+
+    items = list(tm.wrap(iter(range(5)), "wait"))
+    assert items == list(range(5))
+    assert tm.counts["wait"] == 6  # 5 items + the terminating next()
+
+    rep = tm.report()
+    assert "a" in rep and "wait" in rep and "section breakdown" in rep
+
+    # exceptions inside a section still record it
+    try:
+        with tm("b"):
+            raise ValueError("x")
+    except ValueError:
+        pass
+    assert tm.counts["b"] == 1
