@@ -120,7 +120,10 @@ def test(args, config_parser: YAMLParser):
         if not vis_on:
             return False
         show = config["vis"].get("show")
-        return show is None or key in show
+        if show is None or key in show:
+            return True
+        # error_flow is derived from flow_bw + GT (utils/visualization.py)
+        return key == "flow_bw" and "error_flow" in show
 
     val_cls = METRIC_REGISTRY[metrics_cfg.get("warping", "Iterative")]
     val_cfg = ValConfig(
@@ -309,6 +312,25 @@ def test(args, config_parser: YAMLParser):
     _reducers = [_make_reducers()]
 
     passes_done = 0  # host-side mirror of vstate.pass_idx (avoids syncs)
+
+    def _consume_mets(host_mets):
+        """Fold one window boundary's (host) metric values into the vis
+        slots and per-sequence accumulators — the single consumer for both
+        the in-program and reducer metric paths."""
+        if "flow_bw" in host_mets:
+            vis.data["flow_bw"] = host_mets["flow_bw"]
+        if "aee" in host_mets:
+            val_results[sequence]["AEE"]["metric"] += float(host_mets["aee"])
+            val_results[sequence]["AEE"]["it"] += 1
+        for metric in metric_names:
+            if metric == "RSAT" and "rsat" in host_mets:
+                val_results[sequence][metric]["metric"] += float(
+                    host_mets["rsat"])
+                val_results[sequence][metric]["it"] += 1
+            elif metric == "FWL" and "fwl" in host_mets:
+                val_results[sequence][metric]["metric"] += float(
+                    host_mets["fwl"])
+                val_results[sequence][metric]["it"] += 1
 
     # wall-clock attribution of the consumer loop (printed with
     # vis.verbose; negligible overhead otherwise)
@@ -606,11 +628,7 @@ def test(args, config_parser: YAMLParser):
                 val_results, sequence, metric_names
             )
             if passes_done == passes:
-                compute = True
-                if "eval_time" in metrics_cfg:
-                    t = meta["ts"]
-                    lo, hi = metrics_cfg["eval_time"]
-                    compute = lo <= t <= hi
+                compute = _in_eval_time(meta["ts"])
 
                 if compute and window_mets is not None:
                     # metrics were computed inside the window program — ONE
@@ -618,21 +636,7 @@ def test(args, config_parser: YAMLParser):
                     # a full ~26 ms D2H round trip on the tunneled plugin)
                     with tm("mets_readback"):
                         host_mets = jax.device_get(window_mets)
-                    if "flow_bw" in host_mets:
-                        vis.data["flow_bw"] = host_mets["flow_bw"]
-                    if "aee" in host_mets:
-                        val_results[sequence]["AEE"]["metric"] += float(
-                            host_mets["aee"])
-                        val_results[sequence]["AEE"]["it"] += 1
-                    for metric in metric_names:
-                        if metric == "RSAT" and "rsat" in host_mets:
-                            val_results[sequence][metric][
-                                "metric"] += float(host_mets["rsat"])
-                            val_results[sequence][metric]["it"] += 1
-                        elif metric == "FWL" and "fwl" in host_mets:
-                            val_results[sequence][metric][
-                                "metric"] += float(host_mets["fwl"])
-                            val_results[sequence][metric]["it"] += 1
+                    _consume_mets(host_mets)
                 elif compute:
                     # reducer path (event-sharded or growing buckets):
                     # dispatch every reducer first, then read ALL results
@@ -667,21 +671,7 @@ def test(args, config_parser: YAMLParser):
                                 dev_mets["fwl"] = _reducers[0]["fwl"](vstate)
                     with tm("mets_readback"):
                         host_mets = jax.device_get(dev_mets)
-                    if "flow_bw" in host_mets:
-                        vis.data["flow_bw"] = host_mets["flow_bw"]
-                    if "aee" in host_mets:
-                        val_results[sequence]["AEE"]["metric"] += float(
-                            host_mets["aee"])
-                        val_results[sequence]["AEE"]["it"] += 1
-                    for metric in metric_names:
-                        if metric == "RSAT" and "rsat" in host_mets:
-                            val_results[sequence][metric]["metric"] += float(
-                                host_mets["rsat"])
-                            val_results[sequence][metric]["it"] += 1
-                        elif metric == "FWL" and "fwl" in host_mets:
-                            val_results[sequence][metric]["metric"] += float(
-                                host_mets["fwl"])
-                            val_results[sequence][metric]["it"] += 1
+                    _consume_mets(host_mets)
 
                 window_mets = None
                 if windowed:

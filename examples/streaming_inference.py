@@ -60,9 +60,30 @@ def main():
     from taming_event_flow_tpu.training import make_forward_fn
 
     res = (args.height, args.width)
-    model = build_model({"name": "RecEVFlowNet"}, num_bins=2)
+    model_cfg = {"name": "RecEVFlowNet"}
+    num_bins = 2
+    if args.runid:
+        # reconstruct the run's model config (the eval CLI's pattern,
+        # eval_flow.py) — a default template would shape-mismatch runs
+        # trained with non-default arch kwargs or voxel input
+        from taming_event_flow_tpu import tracking
+        from taming_event_flow_tpu.configs import YAMLParser
+
+        tracking.set_tracking_uri(args.path_mlflow)
+        run_cfg = YAMLParser().merge_configs(
+            tracking.get_run(args.runid).data.params)
+        model_cfg = dict(run_cfg["model"])
+        if run_cfg["data"].get("voxel") is not None:
+            num_bins = run_cfg["data"]["voxel"]
+            raise SystemExit(
+                "this example streams the count encoding; run with a "
+                f"count-input checkpoint (run {args.runid} trained on "
+                f"{num_bins}-bin voxels)"
+            )
+
+    model = build_model(model_cfg, num_bins=num_bins)
     carry = model.init_state(1, res[0], res[1])
-    x0 = jnp.zeros((1, res[0], res[1], 2))
+    x0 = jnp.zeros((1, res[0], res[1], num_bins))
     params = model.init(jax.random.PRNGKey(0), x0, carry)["params"]
 
     if args.torch_checkpoint:
@@ -73,10 +94,8 @@ def main():
         params = load_reference_torch_checkpoint(args.torch_checkpoint)
         print(f"imported torch checkpoint {args.torch_checkpoint}")
     elif args.runid:
-        from taming_event_flow_tpu import tracking
         from taming_event_flow_tpu.tracking import load_checkpoint
 
-        tracking.set_tracking_uri(args.path_mlflow)
         template = {"params": params, "opt_state": None,
                     "step": np.int64(0), "epoch": np.int64(0)}
         restored, _ = load_checkpoint(args.runid, template)
@@ -106,19 +125,17 @@ def main():
         ev[..., 1] = rng.integers(0, res[0], (1, args.n_events))
         ev[..., 2] = rng.integers(0, res[1], (1, args.n_events))
         ev[..., 3] = rng.choice([-1.0, 1.0], (1, args.n_events))
-        pol = np.stack([ev[..., 3] > 0, ev[..., 3] < 0], -1).astype(
-            np.float32)
-        return ev, pol
+        return ev
 
     # warm up / compile
-    ev, _ = synthetic_slice()
+    ev = synthetic_slice()
     x = encode(jnp.asarray(ev))
     flows, carry = forward(params, carry, x)
     np.asarray(flows[-1][..., :1, :1, :])  # sync
 
     lat = []
     for k in range(args.passes):
-        ev, _ = synthetic_slice()  # stand-in for the camera driver
+        ev = synthetic_slice()  # stand-in for the camera driver
         t0 = time.perf_counter()
         x = encode(jnp.asarray(ev))
         flows, carry = forward(params, carry, x)
