@@ -39,7 +39,10 @@ from taming_event_flow_tpu.training import (
     make_eval_step,
     make_eval_window_step,
 )
-from taming_event_flow_tpu.training.window import pad_batch_events
+from taming_event_flow_tpu.training.window import (
+    WindowGrouper,
+    pad_batch_events,
+)
 from taming_event_flow_tpu.utils import Visualization
 
 
@@ -457,8 +460,7 @@ def test(args, config_parser: YAMLParser):
             windowed and eval_mesh is None
             and config["loader"].get("n_events_pad")
         )
-        pbuf = []  # producer's mirror of the consumer's wbuf
-        pd = 0  # mirror of the consumer's passes_done
+        grouper = WindowGrouper(passes)
         while True:
             b = data.next_batch()
             if b["ts_jump_reset"].any():
@@ -470,28 +472,13 @@ def test(args, config_parser: YAMLParser):
                 "bar_iters": data.get_iters(data.lanes[0]),
             }
             if stage and not meta["end_test"]:
-                if b["new_seq"].any():
-                    pbuf.clear()
-                    pd = 0
-                if (config["data"]["mode"] == "gtflow"
-                        and b["ts_jump_reset"].any()):
-                    # consumer flushes its buffer per-pass, then finishes
-                    # the window per-pass — no staging until the boundary.
-                    # pd ACCUMULATES (+=): a second jump during per-pass
-                    # recovery must not reset the mirror while the
-                    # consumer's passes_done keeps counting
-                    pd += len(pbuf)
-                    pbuf.clear()
-                if pd == 0:
-                    pbuf.append(b)
-                    if len(pbuf) == passes:
-                        meta["staged"] = _stage_window(pbuf)
-                        pbuf.clear()
-                        pd = passes
-                else:
-                    pd += 1
-                if pd == passes:
-                    pd = 0
+                full = grouper.feed(
+                    b, bool(b["new_seq"].any()),
+                    bool(config["data"]["mode"] == "gtflow"
+                         and b["ts_jump_reset"].any()),
+                )
+                if full is not None:
+                    meta["staged"] = _stage_window(full)
             yield b, meta
             if meta["end_test"]:
                 return

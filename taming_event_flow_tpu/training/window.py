@@ -45,3 +45,49 @@ def pad_batch_events(batch: Dict[str, np.ndarray], n: int):
                 padded[:, : arr.shape[1]] = arr
                 out[key] = padded
     return out
+
+
+class WindowGrouper:
+    """Mirror of the eval consumer's window-grouping state machine.
+
+    The prefetch producer pre-stages a GT window's device inputs exactly
+    when the consumer's ``wbuf`` will reach ``passes`` cleanly. That
+    requires replaying the consumer's transitions (``eval_flow.test``'s
+    loop) on the producer side:
+
+      * ``new_seq``  — partial window dropped, counters reset;
+      * ``ts_jump``  — buffered passes flushed per-pass (the recovery then
+        runs per-pass until the boundary), so the mirror's pass counter
+        ACCUMULATES across a jump — a second jump during recovery must not
+        reset it while the consumer keeps counting;
+      * a clean P-th batch completes a window (stage point), after which
+        the consumer's boundary block resets its counter.
+
+    ``feed`` returns the buffered batch list exactly when a full clean
+    window formed (the staging point), else ``None``.
+    """
+
+    def __init__(self, passes: int):
+        self.passes = passes
+        self.buf: List = []
+        self.pd = 0  # mirror of the consumer's passes_done
+
+    def feed(self, batch, new_seq: bool, ts_jump: bool):
+        if new_seq:
+            self.buf.clear()
+            self.pd = 0
+        if ts_jump:
+            self.pd += len(self.buf)
+            self.buf.clear()
+        out = None
+        if self.pd == 0:
+            self.buf.append(batch)
+            if len(self.buf) == self.passes:
+                out = list(self.buf)
+                self.buf.clear()
+                self.pd = self.passes
+        else:
+            self.pd += 1
+        if self.pd == self.passes:
+            self.pd = 0
+        return out

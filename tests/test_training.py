@@ -260,3 +260,63 @@ def test_mesh_per_lane_carry_isolation(rng):
         # ...every other lane's is bit-identical
         others = [i for i in range(batch) if i != lane]
         np.testing.assert_array_equal(a[others], b[others])
+
+
+def test_window_grouper_mirrors_consumer():
+    """The staging producer's WindowGrouper must stage exactly the windows
+    the eval consumer dispatches via run_window — same boundaries, same
+    contents — under any interleaving of new_seq / ts_jump flags.
+    Includes the regression case: a second jump during per-pass recovery
+    (the mirror's counter must accumulate, not reset)."""
+    import numpy as np
+
+    from taming_event_flow_tpu.training.window import WindowGrouper
+
+    def consumer_windows(events, passes):
+        """Independent transcription of eval_flow.test()'s loop state:
+        wbuf/passes_done transitions around run_window/run_pass."""
+        wbuf, passes_done, out = [], 0, []
+        for i, (b, new_seq, jump) in enumerate(events):
+            if new_seq:
+                passes_done = 0
+                wbuf.clear()
+            if jump:
+                passes_done += len(wbuf)  # flushed per-pass
+                wbuf.clear()
+            if passes_done == 0:
+                wbuf.append(b)
+                if len(wbuf) == passes:
+                    out.append((i, list(wbuf)))
+                    wbuf.clear()
+                    passes_done = passes
+            else:
+                passes_done += 1
+            if passes_done == passes:
+                passes_done = 0  # metric-boundary reset
+        return out
+
+    def producer_windows(events, passes):
+        g = WindowGrouper(passes)
+        out = []
+        for i, (b, new_seq, jump) in enumerate(events):
+            full = g.feed(b, new_seq, jump)
+            if full is not None:
+                out.append((i, full))
+        return out
+
+    rng = np.random.default_rng(0)
+    for passes in (2, 3, 10):
+        for trial in range(40):
+            n = int(rng.integers(3 * passes, 12 * passes))
+            events = [
+                (k, bool(rng.random() < 0.05), bool(rng.random() < 0.12))
+                for k in range(n)
+            ]
+            assert (producer_windows(events, passes)
+                    == consumer_windows(events, passes)), (passes, trial)
+
+    # regression: two jumps inside one per-pass recovery span (passes=4):
+    # jump after 2 buffered -> recovery; second jump mid-recovery must not
+    # resync staging off the true boundary
+    events = [(k, False, k in (2, 4)) for k in range(16)]
+    assert producer_windows(events, 4) == consumer_windows(events, 4)
