@@ -219,6 +219,37 @@ def test_train_eval_registry_variants(workspace, tmp_path, variant):
             assert np.isfinite(float(v))
 
 
+def test_eval_time_mode_deblurring_metrics(trained_run, tmp_path):
+    """Eval in time-windowing mode (no GT flow in the batches): the
+    deblurring metrics FWL/RSAT compute without AEE — the reference
+    supports gtflow-less evaluation, and the in-program metrics path must
+    skip the AEE/flow_bw block cleanly (aux is a dummy scalar)."""
+    root, ds, runid = trained_run
+    from taming_event_flow_tpu.configs import YAMLParser
+    import eval_flow
+
+    cfg = {
+        "data": {"path": ds, "mode": "time", "window": 0.2,
+                 "passes_loss": 2, "cache": False},
+        "loader": {"resolution": list(RES), "augment": [],
+                   "max_num_grad_events": None, "seed": 11,
+                   "n_events_pad": 1001},  # no mesh -> extras path
+        "metrics": {"warping": "Iterative", "name": ["FWL", "RSAT"]},
+        "vis": {"enabled": False, "store": False, "bars": False},
+    }
+    cfg_path = write_cfg(tmp_path / "eval_time.yml", cfg)
+    args = argparse.Namespace(
+        runid=runid, config=cfg_path, path_mlflow=str(root),
+        path_results=str(tmp_path / "results_time") + "/",
+    )
+    results = eval_flow.test(args, YAMLParser(cfg_path))
+    assert "AEE" not in results or not results["AEE"]
+    assert results["FWL"] and results["RSAT"]
+    for metric in ("FWL", "RSAT"):
+        for v in results[metric].values():
+            assert np.isfinite(float(v))
+
+
 def test_eval_in_program_metrics_matches_sharded(trained_run, tmp_path):
     """The windowed fast path folds RSAT/FWL/AEE + flow_bw into the window
     program (``make_eval_window_step(extras=...)``) on single-device runs;
