@@ -236,6 +236,14 @@ def pallas_correctness_check():
 def main():
     import jax
 
+    # persistent compilation cache: bench wall time is dominated by the
+    # 4-5 big program compiles (~25 min first run on this host); repeat
+    # runs — including the next round's driver invocation on the same
+    # machine — deserialize instead. Timed regions are unaffected (every
+    # bench warms up before its timing loop).
+    jax.config.update("jax_compilation_cache_dir", "/tmp/bench_xla_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     # gate: every Pallas kernel must still lower + run on the real chip
     pallas_ok = pallas_correctness_check()
 
