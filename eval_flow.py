@@ -222,6 +222,12 @@ def test(args, config_parser: YAMLParser):
     # so eval_time-gated protocols pick the fused-metrics program only on
     # in-window boundary passes (zero waste on gated-out passes)
     _pass_extras = eval_mesh is None
+    # packed wire: pol/event masks derive on device, integer count inputs
+    # ship uint16 (exact either way; runtime.packed_wire: false = A/B
+    # escape hatch)
+    _packed_wire = bool(
+        (config.get("runtime") or {}).get("packed_wire", True)
+    )
 
     def _in_eval_time(ts) -> bool:
         if "eval_time" not in metrics_cfg:
@@ -352,9 +358,23 @@ def test(args, config_parser: YAMLParser):
             vstate = fresh_state(vstate)
             vstate_stale = False
         ev_in = jnp.asarray(b["event_list"])
-        pol_in = jnp.asarray(b["event_list_pol_mask"])
-        if eval_mesh is not None:
-            ev_in, pol_in = shard_eval_batch(ev_in, pol_in, eval_mesh)
+        if eval_mesh is not None or not _packed_wire:
+            pol_in = jnp.asarray(b["event_list_pol_mask"])
+            if eval_mesh is not None:
+                ev_in, pol_in = shard_eval_batch(ev_in, pol_in, eval_mesh)
+            x_in, emask_in = b["net_input"], jnp.asarray(b["event_mask"])
+        else:
+            # packed per-pass wire (step body derives / casts; exact):
+            # pol masks and — in count mode — the event mask stay home,
+            # integer count inputs travel as uint16
+            pol_in = None
+            x_in = b["net_input"]
+            if config["data"]["voxel"] is not None:
+                emask_in = jnp.asarray(b["event_mask"])
+            else:
+                emask_in = None
+                if x_in.max() < np.iinfo(np.uint16).max + 1:
+                    x_in = x_in.astype(np.uint16)
         want = (
             _pass_extras
             and meta is not None
@@ -364,8 +384,8 @@ def test(args, config_parser: YAMLParser):
         aux = (jnp.asarray(b["gtflow"])
                if (want and _aee_in_program) else 0.0)
         out = _eval_step[0](
-            vstate, carry, params, jnp.asarray(b["net_input"]),
-            ev_in, pol_in, jnp.asarray(b["event_mask"]),
+            vstate, carry, params, jnp.asarray(x_in),
+            ev_in, pol_in, emask_in,
             n_active=passes_done + 1, aux=aux, with_extras=want,
         )
         if want:
@@ -421,22 +441,33 @@ def test(args, config_parser: YAMLParser):
         overlaps the consumer's device dispatches).
 
         Packed wire formats (the window program unpacks; exact by
-        construction): polarity masks ship as bool (4x smaller), and with
-        the count encoding the event mask isn't shipped at all — the
-        program derives it from ``net_input`` (them being aliases is the
-        loader's own construction, data/base.py)."""
+        construction): polarity masks aren't shipped at all (the program
+        derives ``[p>0, p<0]`` from the event lists — the loader's own
+        construction, data/base.py), count net inputs travel as uint16
+        (integer counts, nearest remap — data/base.py; 24.6 -> 12.3
+        MB/window at DSEC scale), and with the count encoding the event
+        mask is derived from ``net_input`` on device too."""
         aux = (jnp.asarray(bufs[-1]["gtflow"])
                if (_use_extras and _aee_in_program) else 0.0)
         emasks = None
-        if config["data"]["voxel"] is not None:
-            # voxel net input: the mask is not derivable — ship it
+        xs = np.stack([b["net_input"] for b in bufs])
+        pols = None  # pol masks derive on device from the polarity column
+        if not _packed_wire:
             emasks = jnp.asarray(
                 np.stack([b["event_mask"] for b in bufs]))
+            pols = jnp.asarray(np.stack(
+                [b["event_list_pol_mask"] for b in bufs]).astype(bool))
+        elif config["data"]["voxel"] is not None:
+            # voxel net input: fractional values and the mask is not
+            # derivable — ship both as-is
+            emasks = jnp.asarray(
+                np.stack([b["event_mask"] for b in bufs]))
+        elif xs.max() < np.iinfo(np.uint16).max + 1:
+            xs = xs.astype(np.uint16)
         return (
-            jnp.asarray(np.stack([b["net_input"] for b in bufs])),
+            jnp.asarray(xs),
             jnp.asarray(np.stack([b["event_list"] for b in bufs])),
-            jnp.asarray(np.stack(
-                [b["event_list_pol_mask"] for b in bufs]).astype(bool)),
+            pols,
             emasks,
             aux,
         )

@@ -50,6 +50,35 @@ def build_optimizer(opt_config: Dict, clip_grad: Optional[float] = None):
     return tx
 
 
+def unpack_window(window: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+    """Device-side inverse of the packed wire format
+    (:func:`taming_event_flow_tpu.training.window.stack_window` with
+    ``packed=True``); identity (all casts no-ops) for a plain f32 window.
+
+    Exactness: polarity is ±1/0 so int8 -> f32 is exact and the derived
+    ``pol_mask`` ``[p>0, p<0]`` is the loader's own construction
+    (``data/base.py assemble_sample``); ``grad_mask`` values are 0/1; a
+    uint16 ``net_input`` is only shipped when the count encoding fits
+    (integers by construction).
+    """
+    if "event_txy" in window:
+        p = window["event_p"].astype(jnp.float32)
+        window = {
+            "net_input": window["net_input"],
+            "event_list": jnp.concatenate(
+                [window["event_txy"], p[..., None]], axis=-1
+            ),
+            "pol_mask": jnp.stack([p > 0, p < 0], axis=-1),
+            "grad_mask": window["grad_mask"],
+        }
+    return {
+        "net_input": window["net_input"].astype(jnp.float32),
+        "event_list": window["event_list"],
+        "pol_mask": window["pol_mask"].astype(jnp.float32),
+        "grad_mask": window["grad_mask"].astype(jnp.float32),
+    }
+
+
 def make_train_step(model, optimizer, loss_cfg: LossConfig,
                     warping: str = "Iterative", flow_scaling: float = 32.0,
                     donate: bool = True) -> Callable:
@@ -64,10 +93,12 @@ def make_train_step(model, optimizer, loss_cfg: LossConfig,
       * ``event_list``: ``[P, B, N, 4]`` (ts, y, x, p), ts in [0, 1]
       * ``pol_mask``: ``[P, B, N, 2]``
       * ``grad_mask``: ``[P, B, N, 1]``
+    or the packed wire equivalent (see :func:`unpack_window`).
     """
     loss_fn = LOSS_REGISTRY[warping]
 
-    def step(state: TrainState, window: Dict[str, jnp.ndarray]):
+    def step(state: TrainState, raw_window: Dict[str, jnp.ndarray]):
+        window = unpack_window(raw_window)
         def compute_loss(params):
             def body(carry, inp):
                 x = inp
@@ -148,6 +179,20 @@ def make_eval_step(model, val, flow_scaling: float = 32.0,
     cache = {}
 
     def body(k, want, vstate, carry, params, x, ev, pol, emask, aux=None):
+        # packed wire (all no-ops / dead branches for plain f32 inputs):
+        # uint16 count net inputs cast up; a None pol derives [p>0, p<0]
+        # from the event list (the loader's construction, data/base.py);
+        # a None emask derives (cnt_pos + cnt_neg) > 0 from the count
+        # encoding (ditto)
+        x = x.astype(jnp.float32)
+        if pol is None:
+            p = ev[..., 3]
+            pol = jnp.stack([p > 0, p < 0], axis=-1)
+        pol = pol.astype(jnp.float32)
+        if emask is None:
+            emask = (
+                jnp.sum(x, axis=-1, keepdims=True) > 0
+            ).astype(jnp.float32)
         if inference_dtype is not None:
             params = jax.tree.map(
                 lambda p: p.astype(inference_dtype), params
@@ -224,12 +269,20 @@ def make_eval_window_step(model, val, flow_scaling: float = 32.0,
     def window(vstate, carry, params, xs, evs, pols, emasks, aux=None):
         if reset_first:
             vstate = val.reset(vstate)
-        # packed wire formats from the staging producer: polarity masks
-        # travel as bool; with the count encoding the event mask is
-        # DERIVED here ((cnt_pos + cnt_neg) > 0 — exactly the loader's
-        # construction, data/base.py) instead of shipped (12 MB/window at
-        # DSEC scale). All casts are no-ops for plain f32 inputs.
+        # packed wire formats from the staging producer: count-encoding
+        # net inputs travel as uint16 (integer counts by construction,
+        # data/base.py); a None pols derives [p>0, p<0] from the event
+        # lists (the loader's construction) instead of shipping 2.6
+        # MB/window; a None emasks derives (cnt_pos + cnt_neg) > 0 from
+        # the count encoding (ditto, 12 MB/window at DSEC scale). All
+        # casts are no-ops for plain f32 inputs; xs casts BEFORE the mask
+        # derivation so the uint16 path is element-for-element the f32
+        # one.
+        if pols is None:
+            p = evs[..., 3]
+            pols = jnp.stack([p > 0, p < 0], axis=-1)
         pols = pols.astype(jnp.float32)
+        xs = xs.astype(jnp.float32)
         if emasks is None:
             emasks = (
                 jnp.sum(xs, axis=-1, keepdims=True) > 0

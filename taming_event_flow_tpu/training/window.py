@@ -8,10 +8,34 @@ from typing import Dict, List
 import numpy as np
 
 
-def stack_window(batches: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
+def stack_window(
+    batches: List[Dict[str, np.ndarray]],
+    packed: bool = False,
+    net_uint16: bool = False,
+) -> Dict[str, np.ndarray]:
     """Stack P collated batches into ``[P, B, ...]`` arrays for the train
-    step, re-padding ragged event tensors to the window's max bucket."""
-    ragged = ["event_list", "event_list_pol_mask", "grad_mask"]
+    step, re-padding ragged event tensors to the window's max bucket.
+
+    ``packed=True`` emits the packed WIRE format (every wire byte costs
+    host CPU on the tunneled-device stack — the endpoint serializes on the
+    same core as the producer), exact by construction
+    (:func:`taming_event_flow_tpu.training.step.unpack_window` restores the
+    plain window on device):
+
+      * ``event_txy`` ``[P,B,N,3]`` f32 + ``event_p`` ``[P,B,N]`` int8
+        replace ``event_list`` (polarity is ±1/0, ``data/base.py``);
+      * ``pol_mask`` is not shipped at all — it is ``[p>0, p<0]`` of the
+        polarity column, the loader's own construction
+        (``data/base.py assemble_sample``);
+      * ``grad_mask`` ships as bool (values are 0/1 by construction);
+      * with ``net_uint16`` (count-encoding mode: integer counts, nearest
+        remap — ``data/base.py events_to_channels_np``/``remap``) the net
+        input ships as uint16 when it fits, halving its bytes. Voxel-mode
+        inputs are fractional — leave ``net_uint16`` off.
+
+    At the reference training config the wire drops 28.8 -> 14.4 MB per
+    optimizer step.
+    """
     n = max(b["event_list"].shape[1] for b in batches)
 
     def pad(arr):
@@ -22,13 +46,34 @@ def stack_window(batches: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
         padded[:, :k] = arr
         return padded
 
+    net = np.stack([b["net_input"] for b in batches])
+    if not packed:
+        return {
+            "net_input": net,
+            "event_list": np.stack([pad(b["event_list"]) for b in batches]),
+            "pol_mask": np.stack(
+                [pad(b["event_list_pol_mask"]) for b in batches]
+            ),
+            "grad_mask": np.stack([pad(b["grad_mask"]) for b in batches]),
+        }
+
+    p_ct, b_ct = len(batches), batches[0]["event_list"].shape[0]
+    txy = np.zeros((p_ct, b_ct, n, 3), np.float32)
+    pol = np.zeros((p_ct, b_ct, n), np.int8)
+    grad = np.zeros((p_ct, b_ct, n, 1), bool)
+    for i, b in enumerate(batches):
+        ev = b["event_list"]
+        k = ev.shape[1]
+        txy[i, :, :k] = ev[..., :3]
+        pol[i, :, :k] = ev[..., 3]
+        grad[i, :, :k] = b["grad_mask"] != 0
+    if net_uint16 and net.max() < np.iinfo(np.uint16).max + 1:
+        net = net.astype(np.uint16)
     return {
-        "net_input": np.stack([b["net_input"] for b in batches]),
-        "event_list": np.stack([pad(b["event_list"]) for b in batches]),
-        "pol_mask": np.stack(
-            [pad(b["event_list_pol_mask"]) for b in batches]
-        ),
-        "grad_mask": np.stack([pad(b["grad_mask"]) for b in batches]),
+        "net_input": net,
+        "event_txy": txy,
+        "event_p": pol,
+        "grad_mask": grad,
     }
 
 

@@ -173,6 +173,55 @@ def test_eval_window_step_matches_sequential(rng, full_vis, dtype):
     np.testing.assert_array_equal(np.asarray(flow_seq), np.asarray(flow_rf))
 
 
+def test_eval_steps_packed_wire_equivalence(rng):
+    """The packed eval wire (uint16 count input, pol/event masks derived
+    on device from the event list / count encoding) is bit-identical to
+    the plain f32 wire, on both the per-pass and whole-window programs."""
+    from taming_event_flow_tpu.metrics import IterativeValidation, ValConfig
+    from taming_event_flow_tpu.training import (
+        make_eval_step,
+        make_eval_window_step,
+    )
+
+    model = tiny_model()
+    val = IterativeValidation(ValConfig(res=RES, passes=P_PASSES), 1, N)
+    x0 = jnp.zeros((1, RES[0], RES[1], 2))
+    carry0 = model.init_state(1, RES[0], RES[1])
+    params = model.init(jax.random.PRNGKey(0), x0, carry0)["params"]
+
+    w = make_window(rng, 1)
+    xs = jnp.asarray(w["net_input"])
+    xs_u16 = jnp.asarray(w["net_input"].astype(np.uint16))
+    evs = jnp.asarray(w["event_list"])
+    pols = jnp.asarray(w["pol_mask"])
+    emasks = jnp.asarray(
+        (w["net_input"].sum(-1, keepdims=True) > 0).astype(np.float32)
+    )
+
+    def trees_equal(a, b):
+        for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    step = make_eval_step(model, val, flow_scaling=4.0)
+    plain = jax.jit(val.init)(), model.init_state(1, RES[0], RES[1])
+    packed = jax.jit(val.init)(), model.init_state(1, RES[0], RES[1])
+    for k in range(P_PASSES):
+        plain = step(plain[0], plain[1], params, xs[k], evs[k], pols[k],
+                     emasks[k], n_active=k + 1)
+        packed = step(packed[0], packed[1], params, xs_u16[k], evs[k],
+                      None, None, n_active=k + 1)
+        trees_equal(plain, packed)
+
+    wstep = make_eval_window_step(model, val, flow_scaling=4.0)
+    out_plain = wstep(jax.jit(val.init)(),
+                      model.init_state(1, RES[0], RES[1]), params,
+                      xs, evs, pols, emasks)
+    out_packed = wstep(jax.jit(val.init)(),
+                       model.init_state(1, RES[0], RES[1]), params,
+                       xs_u16, evs, None, None)
+    trees_equal(out_plain, out_packed)
+
+
 def test_data_parallel_mesh_matches_single_device(rng):
     """B=8 window on an 8-device mesh == single-device result (fp tolerance)."""
     batch = 8
@@ -260,6 +309,72 @@ def test_mesh_per_lane_carry_isolation(rng):
         # ...every other lane's is bit-identical
         others = [i for i in range(batch) if i != lane]
         np.testing.assert_array_equal(a[others], b[others])
+
+
+def test_packed_wire_roundtrip_and_step_equivalence(setup, rng):
+    """The packed wire format (stack_window(packed=True) -> device
+    unpack_window) restores the plain window bit-exactly, and the train
+    step produces an identical loss and parameters from either form."""
+    from taming_event_flow_tpu.training.window import stack_window
+    from taming_event_flow_tpu.training.step import unpack_window
+
+    model, cfg, opt, state, step = setup
+    w = make_window(rng, 1)
+    # per-pass collated batches, one of them ragged (shorter event list)
+    batches = []
+    for p in range(P_PASSES):
+        k = N - 7 if p == 1 else N
+        batches.append({
+            "net_input": w["net_input"][p],
+            "event_list": w["event_list"][p][:, :k],
+            "event_list_pol_mask": w["pol_mask"][p][:, :k],
+            "grad_mask": w["grad_mask"][p][:, :k],
+        })
+
+    plain = stack_window(batches)
+    packed = stack_window(batches, packed=True, net_uint16=True)
+    assert packed["net_input"].dtype == np.uint16  # counts fit
+    assert packed["event_p"].dtype == np.int8
+    assert packed["grad_mask"].dtype == bool
+    assert "pol_mask" not in packed and "event_list" not in packed
+
+    unpacked = jax.jit(unpack_window)(
+        {k: jnp.asarray(v) for k, v in packed.items()}
+    )
+    for key in plain:
+        np.testing.assert_array_equal(
+            np.asarray(unpacked[key]), plain[key], err_msg=key
+        )
+
+    s_plain, loss_plain = step(
+        state, {k: jnp.asarray(v) for k, v in plain.items()}
+    )
+    s_packed, loss_packed = step(
+        state, {k: jnp.asarray(v) for k, v in packed.items()}
+    )
+    assert float(loss_plain) == float(loss_packed)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)
+        ),
+        s_plain.params, s_packed.params,
+    )
+
+
+def test_stack_window_packed_net_overflow_keeps_f32():
+    """uint16 packing must fall back to f32 when a count cannot fit."""
+    from taming_event_flow_tpu.training.window import stack_window
+
+    net = np.zeros((1, 4, 4, 2), np.float32)
+    net[0, 0, 0, 0] = 70000.0
+    batch = {
+        "net_input": net,
+        "event_list": np.zeros((1, 8, 4), np.float32),
+        "event_list_pol_mask": np.zeros((1, 8, 2), np.float32),
+        "grad_mask": np.ones((1, 8, 1), np.float32),
+    }
+    packed = stack_window([batch], packed=True, net_uint16=True)
+    assert packed["net_input"].dtype == np.float32
 
 
 def test_window_grouper_mirrors_consumer():

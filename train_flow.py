@@ -287,6 +287,15 @@ def train(args, config_parser: YAMLParser):
                                host-side here.
         """
         device_stage = not multihost and mesh is None and event_mesh is None
+        # packed wire format on the staged path (stack_window docstring):
+        # halves the H2D bytes — which are host-CPU-bound on the tunneled
+        # stack — and is exact by construction (unpacked on device by
+        # training.step.unpack_window). runtime.packed_wire: false opts
+        # out (A/B escape hatch; numerics are identical either way).
+        packed = device_stage and bool(
+            (config.get("runtime") or {}).get("packed_wire", True)
+        )
+        net_uint16 = config["data"]["voxel"] is None
         window_batches = []
         windows_in_epoch = 0
         while True:
@@ -320,7 +329,8 @@ def train(args, config_parser: YAMLParser):
             if len(window_batches) < passes:
                 continue
 
-            window = stack_window(window_batches)
+            window = stack_window(window_batches, packed=packed,
+                                  net_uint16=net_uint16)
             if device_stage:
                 window = {k: jnp.asarray(v) for k, v in window.items()}
             window_batches = []
@@ -406,9 +416,9 @@ def train(args, config_parser: YAMLParser):
                 meter.tick()
 
                 if config["vis"].get("verbose"):
-                    ev_per_step = float(window["event_list"].shape[0]
-                                        * window["event_list"].shape[1]
-                                        * window["event_list"].shape[2])
+                    ev = window.get("event_list", window.get("event_txy"))
+                    ev_per_step = float(
+                        ev.shape[0] * ev.shape[1] * ev.shape[2])
                     print(
                         f"Train Epoch: {epoch_num:04d} "
                         f"[{seq_num:03d}/{len(data.files):03d}] "
