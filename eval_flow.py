@@ -41,9 +41,11 @@ from taming_event_flow_tpu.training import (
 )
 from taming_event_flow_tpu.training.window import (
     WindowGrouper,
+    pack_net_input,
     pad_batch_events,
 )
 from taming_event_flow_tpu.utils import Visualization
+from taming_event_flow_tpu.utils.visualization import flow_to_u16, u16_to_flow
 
 
 def grow_val_state(state, n_new: int):
@@ -223,7 +225,8 @@ def test(args, config_parser: YAMLParser):
     # in-window boundary passes (zero waste on gated-out passes)
     _pass_extras = eval_mesh is None
     # packed wire: pol/event masks derive on device, integer count inputs
-    # ship uint16 (exact either way; runtime.packed_wire: false = A/B
+    # narrow to uint8/uint16 (exact either way; runtime.packed_wire:
+    # false = A/B
     # escape hatch)
     _packed_wire = bool(
         (config.get("runtime") or {}).get("packed_wire", True)
@@ -248,8 +251,12 @@ def test(args, config_parser: YAMLParser):
             )
             if want_vis("flow_bw"):
                 # the map transfer (~40 ms D2H for 260x346) only pays off
-                # when the vis path consumes it; AEE reads it on-device
-                out["flow_bw"] = flow_bw
+                # when the vis path consumes it; AEE reads it on-device.
+                # packed wire: ship the DSEC PNG lattice (half the bytes;
+                # the store re-encodes to these exact values)
+                out["flow_bw"] = (
+                    flow_to_u16(flow_bw) if _packed_wire else flow_bw
+                )
             mask = None
             if metrics_cfg.get("mask_aee"):
                 mask = criteria.window_events(vstate)
@@ -309,6 +316,9 @@ def test(args, config_parser: YAMLParser):
         d["window_flow_bw"] = jax.jit(
             partial(criteria.window_flow, mode="backward", mask=False)
         )
+        # packed wire for the vis readback (jitted: eager elementwise ops
+        # cost 20+ ms dispatches on the per-pass path)
+        d["flow_bw_u16"] = jax.jit(flow_to_u16)
         d["aee"] = jax.jit(
             partial(
                 compute_aee,
@@ -327,7 +337,10 @@ def test(args, config_parser: YAMLParser):
         slots and per-sequence accumulators — the single consumer for both
         the in-program and reducer metric paths."""
         if "flow_bw" in host_mets:
-            vis.data["flow_bw"] = host_mets["flow_bw"]
+            fb = host_mets["flow_bw"]
+            if fb.dtype == np.uint16:  # packed wire: DSEC PNG lattice
+                fb = u16_to_flow(fb)
+            vis.data["flow_bw"] = fb
         if "aee" in host_mets:
             val_results[sequence]["AEE"]["metric"] += float(host_mets["aee"])
             val_results[sequence]["AEE"]["it"] += 1
@@ -366,15 +379,14 @@ def test(args, config_parser: YAMLParser):
         else:
             # packed per-pass wire (step body derives / casts; exact):
             # pol masks and — in count mode — the event mask stay home,
-            # integer count inputs travel as uint16
+            # integer count inputs narrow to uint8/uint16
             pol_in = None
             x_in = b["net_input"]
             if config["data"]["voxel"] is not None:
                 emask_in = jnp.asarray(b["event_mask"])
             else:
                 emask_in = None
-                if x_in.max() < np.iinfo(np.uint16).max + 1:
-                    x_in = x_in.astype(np.uint16)
+                x_in = pack_net_input(x_in)
         want = (
             _pass_extras
             and meta is not None
@@ -443,7 +455,8 @@ def test(args, config_parser: YAMLParser):
         Packed wire formats (the window program unpacks; exact by
         construction): polarity masks aren't shipped at all (the program
         derives ``[p>0, p<0]`` from the event lists — the loader's own
-        construction, data/base.py), count net inputs travel as uint16
+        construction, data/base.py), count net inputs narrow to
+        uint8/uint16 (pack_net_input)
         (integer counts, nearest remap — data/base.py; 24.6 -> 12.3
         MB/window at DSEC scale), and with the count encoding the event
         mask is derived from ``net_input`` on device too."""
@@ -462,8 +475,8 @@ def test(args, config_parser: YAMLParser):
             # derivable — ship both as-is
             emasks = jnp.asarray(
                 np.stack([b["event_mask"] for b in bufs]))
-        elif xs.max() < np.iinfo(np.uint16).max + 1:
-            xs = xs.astype(np.uint16)
+        else:
+            xs = pack_net_input(xs)
         return (
             jnp.asarray(xs),
             jnp.asarray(np.stack([b["event_list"] for b in bufs])),
@@ -676,7 +689,10 @@ def test(args, config_parser: YAMLParser):
                                 * passes
                             )
                             if want_vis("flow_bw"):
-                                dev_mets["flow_bw"] = flow_bw
+                                dev_mets["flow_bw"] = (
+                                    _reducers[0]["flow_bw_u16"](flow_bw)
+                                    if _packed_wire else flow_bw
+                                )
                             dev_mets["aee"] = _reducers[0]["aee"](
                                 flow_bw, jnp.asarray(batch["gtflow"]),
                                 event_mask=mask_aee,

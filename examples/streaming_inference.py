@@ -50,6 +50,10 @@ def main():
     ap.add_argument("--n_events", type=int, default=32768)
     ap.add_argument("--passes", type=int, default=200)
     ap.add_argument("--flow_scaling", type=float, default=32.0)
+    ap.add_argument("--wire", choices=["f32", "u16"], default="f32",
+                    help="flow-map readback format: u16 ships the DSEC "
+                         "16-bit lattice (half the D2H bytes; <= 1/256 px "
+                         "quantization — utils/visualization.flow_to_u16)")
     args = ap.parse_args()
 
     import jax
@@ -127,10 +131,28 @@ def main():
         ev[..., 3] = rng.choice([-1.0, 1.0], (1, args.n_events))
         return ev
 
+    if args.wire == "u16":
+        # ship the DSEC PNG lattice over the wire (half the D2H bytes on
+        # the dominant cost of this loop); decode on host is exact on the
+        # lattice, so total error is the <= 1/256 px quantization
+        from taming_event_flow_tpu.utils.visualization import (
+            flow_to_u16,
+            u16_to_flow,
+        )
+
+        quant = jax.jit(flow_to_u16)
+
+        def read_map(f):
+            return u16_to_flow(np.asarray(quant(f)))
+    else:
+        def read_map(f):
+            return np.asarray(f)
+
     # warm up / compile
     ev = synthetic_slice()
     x = encode(jnp.asarray(ev))
     flows, carry = forward(params, carry, x)
+    read_map(flows[-1])  # compile the readback path too
     np.asarray(flows[-1][..., :1, :1, :])  # sync
 
     lat = []
@@ -139,7 +161,7 @@ def main():
         t0 = time.perf_counter()
         x = encode(jnp.asarray(ev))
         flows, carry = forward(params, carry, x)
-        flow = np.asarray(flows[-1])  # the consumer reads the map
+        flow = read_map(flows[-1])  # the consumer reads the map
         lat.append(time.perf_counter() - t0)
     lat_ms = np.array(lat) * 1e3
     print(

@@ -58,8 +58,8 @@ def unpack_window(window: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
     Exactness: polarity is ±1/0 so int8 -> f32 is exact and the derived
     ``pol_mask`` ``[p>0, p<0]`` is the loader's own construction
     (``data/base.py assemble_sample``); ``grad_mask`` values are 0/1; a
-    uint16 ``net_input`` is only shipped when the count encoding fits
-    (integers by construction).
+    a narrowed integer ``net_input`` is only shipped when the count
+    encoding fits it exactly (``window.pack_net_input``).
     """
     if "event_txy" in window:
         p = window["event_p"].astype(jnp.float32)
@@ -180,7 +180,7 @@ def make_eval_step(model, val, flow_scaling: float = 32.0,
 
     def body(k, want, vstate, carry, params, x, ev, pol, emask, aux=None):
         # packed wire (all no-ops / dead branches for plain f32 inputs):
-        # uint16 count net inputs cast up; a None pol derives [p>0, p<0]
+        # narrowed count net inputs cast up; a None pol derives [p>0, p<0]
         # from the event list (the loader's construction, data/base.py);
         # a None emask derives (cnt_pos + cnt_neg) > 0 from the count
         # encoding (ditto)
@@ -270,13 +270,13 @@ def make_eval_window_step(model, val, flow_scaling: float = 32.0,
         if reset_first:
             vstate = val.reset(vstate)
         # packed wire formats from the staging producer: count-encoding
-        # net inputs travel as uint16 (integer counts by construction,
+        # net inputs travel narrowed (integer counts by construction,
         # data/base.py); a None pols derives [p>0, p<0] from the event
         # lists (the loader's construction) instead of shipping 2.6
         # MB/window; a None emasks derives (cnt_pos + cnt_neg) > 0 from
         # the count encoding (ditto, 12 MB/window at DSEC scale). All
         # casts are no-ops for plain f32 inputs; xs casts BEFORE the mask
-        # derivation so the uint16 path is element-for-element the f32
+        # derivation so the narrowed path is element-for-element the f32
         # one.
         if pols is None:
             p = evs[..., 3]

@@ -8,10 +8,23 @@ from typing import Dict, List
 import numpy as np
 
 
+def pack_net_input(net: np.ndarray) -> np.ndarray:
+    """Narrow an integer-valued (count-encoding) net input to the smallest
+    dtype that holds it exactly — uint8 covers the typical per-pixel event
+    counts, uint16 the heavy tail; values past 65535 stay f32. The device
+    programs cast back to f32 (exact for integers in range)."""
+    m = net.max()
+    if m < 256:
+        return net.astype(np.uint8)
+    if m < np.iinfo(np.uint16).max + 1:
+        return net.astype(np.uint16)
+    return net
+
+
 def stack_window(
     batches: List[Dict[str, np.ndarray]],
     packed: bool = False,
-    net_uint16: bool = False,
+    net_compact: bool = False,
 ) -> Dict[str, np.ndarray]:
     """Stack P collated batches into ``[P, B, ...]`` arrays for the train
     step, re-padding ragged event tensors to the window's max bucket.
@@ -28,10 +41,11 @@ def stack_window(
         polarity column, the loader's own construction
         (``data/base.py assemble_sample``);
       * ``grad_mask`` ships as bool (values are 0/1 by construction);
-      * with ``net_uint16`` (count-encoding mode: integer counts, nearest
+      * with ``net_compact`` (count-encoding mode: integer counts, nearest
         remap — ``data/base.py events_to_channels_np``/``remap``) the net
-        input ships as uint16 when it fits, halving its bytes. Voxel-mode
-        inputs are fractional — leave ``net_uint16`` off.
+        input ships as uint8/uint16 when it fits
+        (:func:`pack_net_input`). Voxel-mode inputs are fractional —
+        leave ``net_compact`` off.
 
     At the reference training config the wire drops 28.8 -> 14.4 MB per
     optimizer step.
@@ -67,8 +81,8 @@ def stack_window(
         txy[i, :, :k] = ev[..., :3]
         pol[i, :, :k] = ev[..., 3]
         grad[i, :, :k] = b["grad_mask"] != 0
-    if net_uint16 and net.max() < np.iinfo(np.uint16).max + 1:
-        net = net.astype(np.uint16)
+    if net_compact:
+        net = pack_net_input(net)
     return {
         "net_input": net,
         "event_txy": txy,

@@ -44,6 +44,28 @@ def decode_dsec_flow(png_pixels: np.ndarray) -> np.ndarray:
     return (enc - 2**15) / 128.0
 
 
+def flow_to_u16(flow):
+    """Quantize a flow map to the DSEC 16-bit PNG lattice ON DEVICE:
+    ``uint16(flow * 128 + 2**15)``, clamped to the lattice — the same
+    pixels :func:`encode_dsec_flow` produces (reference
+    ``visualization.py:146-149``).
+
+    Used as a packed D2H wire format: flow-map readbacks that feed the
+    PNG store are bit-identical at half the bytes (the store re-encodes
+    :func:`u16_to_flow`'s output to these exact values — idempotent on
+    the lattice); anything else consuming the map sees the <= 1/256 px
+    quantization.
+    """
+    import jax.numpy as jnp
+
+    return jnp.clip(flow * 128.0 + 2.0**15, 0.0, 65535.0).astype(jnp.uint16)
+
+
+def u16_to_flow(enc: np.ndarray) -> np.ndarray:
+    """Host-side inverse of :func:`flow_to_u16` (exact on the lattice)."""
+    return (enc.astype(np.float32) - 2.0**15) / 128.0
+
+
 # ------------------------------------------------------------- color maps
 
 

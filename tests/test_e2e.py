@@ -405,3 +405,69 @@ def test_dsec_submission_formatter_real_metadata(tmp_path):
     produced = sorted(os.listdir(out))
     expected = sorted(f"{int(fi):06d}.png" for fi in table[:, -1])
     assert produced == expected
+
+
+def test_eval_packed_wire_ab_identical_outputs(trained_run, tmp_path):
+    """The packed H2D/D2H wire (runtime.packed_wire, default on) must be
+    invisible in the outputs: metrics and stored flow_bw PNG bytes are
+    identical to the plain-f32 wire through the REAL eval CLI."""
+    import pathlib
+
+    root, ds, runid = trained_run
+    from taming_event_flow_tpu.configs import YAMLParser
+    import eval_flow
+
+    def run(packed, tag):
+        with open(make_eval_cfg(root, ds, store=True)) as f:
+            cfg = yaml.safe_load(f)
+        cfg["runtime"] = {"packed_wire": packed}
+        cfg_path = write_cfg(tmp_path / f"eval_{tag}.yml", cfg)
+        args = argparse.Namespace(
+            runid=runid, config=cfg_path, path_mlflow=str(root),
+            path_results=str(tmp_path / f"res_{tag}") + "/",
+        )
+        results = eval_flow.test(args, YAMLParser(cfg_path))
+        base = pathlib.Path(tmp_path / f"res_{tag}" / runid / "results")
+        pngs = {
+            str(p.relative_to(base)): p.read_bytes()
+            for p in sorted(base.rglob("*.png"))
+        }
+        return results, pngs
+
+    r_on, png_on = run(True, "on")
+    r_off, png_off = run(False, "off")
+    assert png_on and sorted(png_on) == sorted(png_off)
+    for k in png_on:
+        assert png_on[k] == png_off[k], f"PNG bytes differ: {k}"
+    for metric in r_off:
+        for seq in r_off[metric]:
+            assert float(r_on[metric][seq]) == float(r_off[metric][seq]), (
+                metric, seq)
+
+
+def test_train_packed_wire_ab_identical_loss(workspace, tmp_path):
+    """Training through the REAL CLI with the packed wire on vs off logs
+    an identical loss history (the device unpack restores the plain
+    window bit-exactly)."""
+    root, ds = workspace
+    from taming_event_flow_tpu.configs import YAMLParser
+    import train_flow
+
+    def run(packed, tag):
+        with open(make_train_cfg(root, ds)) as f:
+            cfg = yaml.safe_load(f)
+        cfg["loader"]["n_epochs"] = 1
+        cfg["runtime"] = {"packed_wire": packed}
+        cfg_path = write_cfg(tmp_path / f"train_{tag}.yml", cfg)
+        args = argparse.Namespace(
+            config=cfg_path, path_mlflow=str(root), path_cache="",
+            prev_runid="",
+        )
+        runid = train_flow.train(args, YAMLParser(cfg_path))
+        with open(os.path.join(str(root), "mlruns", "0", runid,
+                               "metrics", "loss")) as f:
+            return [float(l.split()[1]) for l in f]
+
+    losses_on = run(True, "on")
+    losses_off = run(False, "off")
+    assert losses_on and losses_on == losses_off

@@ -332,8 +332,8 @@ def test_packed_wire_roundtrip_and_step_equivalence(setup, rng):
         })
 
     plain = stack_window(batches)
-    packed = stack_window(batches, packed=True, net_uint16=True)
-    assert packed["net_input"].dtype == np.uint16  # counts fit
+    packed = stack_window(batches, packed=True, net_compact=True)
+    assert packed["net_input"].dtype == np.uint8  # counts fit the byte
     assert packed["event_p"].dtype == np.int8
     assert packed["grad_mask"].dtype == bool
     assert "pol_mask" not in packed and "event_list" not in packed
@@ -361,20 +361,27 @@ def test_packed_wire_roundtrip_and_step_equivalence(setup, rng):
     )
 
 
-def test_stack_window_packed_net_overflow_keeps_f32():
-    """uint16 packing must fall back to f32 when a count cannot fit."""
+def test_stack_window_packed_net_dtype_ladder():
+    """Count packing picks the narrowest exact dtype: uint8 -> uint16 ->
+    f32 fallback when a count cannot fit the 16-bit lattice."""
     from taming_event_flow_tpu.training.window import stack_window
 
-    net = np.zeros((1, 4, 4, 2), np.float32)
-    net[0, 0, 0, 0] = 70000.0
-    batch = {
-        "net_input": net,
-        "event_list": np.zeros((1, 8, 4), np.float32),
-        "event_list_pol_mask": np.zeros((1, 8, 2), np.float32),
-        "grad_mask": np.ones((1, 8, 1), np.float32),
-    }
-    packed = stack_window([batch], packed=True, net_uint16=True)
-    assert packed["net_input"].dtype == np.float32
+    def packed_net(peak):
+        net = np.zeros((1, 4, 4, 2), np.float32)
+        net[0, 0, 0, 0] = peak
+        batch = {
+            "net_input": net,
+            "event_list": np.zeros((1, 8, 4), np.float32),
+            "event_list_pol_mask": np.zeros((1, 8, 2), np.float32),
+            "grad_mask": np.ones((1, 8, 1), np.float32),
+        }
+        w = stack_window([batch], packed=True, net_compact=True)
+        return w["net_input"]
+
+    assert packed_net(200.0).dtype == np.uint8
+    assert packed_net(300.0).dtype == np.uint16
+    assert float(packed_net(300.0).max()) == 300.0
+    assert packed_net(70000.0).dtype == np.float32
 
 
 def test_window_grouper_mirrors_consumer():

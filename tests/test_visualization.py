@@ -58,3 +58,32 @@ def test_progress_meter(capsys):
     m.tick()
     assert m.steps_per_s > 0
     assert m.mevents_per_s(1e6) > 0
+
+
+def test_u16_flow_wire_matches_png_lattice(rng):
+    """The packed flow_bw wire (device-side DSEC-lattice quantization,
+    eval_flow.flow_to_u16) stores the SAME PNG bytes as shipping f32:
+    the wire IS the PNG's own x/y channels, and decoding it on the host
+    then re-encoding is idempotent on the lattice."""
+    import jax
+    import jax.numpy as jnp
+    from taming_event_flow_tpu.utils.visualization import (
+        encode_dsec_flow,
+        flow_to_u16,
+        u16_to_flow,
+    )
+
+    flow = rng.uniform(-200.0, 200.0, (6, 7, 2)).astype(np.float32)
+    enc_dev = np.asarray(jax.jit(flow_to_u16)(jnp.asarray(flow)))
+
+    png_direct = encode_dsec_flow(flow)
+    png_via_wire = encode_dsec_flow(u16_to_flow(enc_dev))
+    np.testing.assert_array_equal(png_direct, png_via_wire)
+    # the wire itself is the PNG's x/y channels (pre flip/pad)
+    np.testing.assert_array_equal(
+        np.flip(png_direct, axis=-1)[..., :2], enc_dev
+    )
+    # out-of-lattice flows clamp on device (the host cast would wrap)
+    big = np.array([[[300.0, -300.0]]], np.float32)
+    clamped = np.asarray(flow_to_u16(jnp.asarray(big)))
+    assert clamped[0, 0, 0] == 65535 and clamped[0, 0, 1] == 0

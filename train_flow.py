@@ -295,7 +295,7 @@ def train(args, config_parser: YAMLParser):
         packed = device_stage and bool(
             (config.get("runtime") or {}).get("packed_wire", True)
         )
-        net_uint16 = config["data"]["voxel"] is None
+        net_compact = config["data"]["voxel"] is None
         window_batches = []
         windows_in_epoch = 0
         while True:
@@ -330,7 +330,7 @@ def train(args, config_parser: YAMLParser):
                 continue
 
             window = stack_window(window_batches, packed=packed,
-                                  net_uint16=net_uint16)
+                                  net_compact=net_compact)
             if device_stage:
                 window = {k: jnp.asarray(v) for k, v in window.items()}
             window_batches = []
