@@ -41,7 +41,6 @@ from taming_event_flow_tpu.training import (
 )
 from taming_event_flow_tpu.training.window import (
     WindowGrouper,
-    pack_net_input,
     pad_batch_events,
 )
 from taming_event_flow_tpu.utils import Visualization
@@ -224,10 +223,10 @@ def test(args, config_parser: YAMLParser):
     # so eval_time-gated protocols pick the fused-metrics program only on
     # in-window boundary passes (zero waste on gated-out passes)
     _pass_extras = eval_mesh is None
-    # packed wire: pol/event masks derive on device, integer count inputs
-    # narrow to uint8/uint16 (exact either way; runtime.packed_wire:
-    # false = A/B
-    # escape hatch)
+    # packed wire: pol/event masks AND the count net input derive on
+    # device from the event lists (+ raw coords / rectification gather
+    # index for rectified sequences) — exact either way;
+    # runtime.packed_wire: false = A/B escape hatch
     _packed_wire = bool(
         (config.get("runtime") or {}).get("packed_wire", True)
     )
@@ -360,6 +359,11 @@ def test(args, config_parser: YAMLParser):
 
     tm = SectionTimer()
 
+    # the current sequence's device-resident rectification gather index
+    # (producer-uploaded; consumed by the packed count-derivation paths —
+    # held here so buffered-pass flushes see it without touching ``data``)
+    _cur_ridx = [None]
+
     def run_pass(b, meta=None):
         """One fused forward+update dispatch (the per-pass path).
 
@@ -371,22 +375,28 @@ def test(args, config_parser: YAMLParser):
             vstate = fresh_state(vstate)
             vstate_stale = False
         ev_in = jnp.asarray(b["event_list"])
+        raw_in = ridx_in = None
         if eval_mesh is not None or not _packed_wire:
             pol_in = jnp.asarray(b["event_list_pol_mask"])
             if eval_mesh is not None:
                 ev_in, pol_in = shard_eval_batch(ev_in, pol_in, eval_mesh)
-            x_in, emask_in = b["net_input"], jnp.asarray(b["event_mask"])
+            x_in, emask_in = jnp.asarray(b["net_input"]), jnp.asarray(
+                b["event_mask"])
         else:
             # packed per-pass wire (step body derives / casts; exact):
-            # pol masks and — in count mode — the event mask stay home,
-            # integer count inputs narrow to uint8/uint16
+            # pol masks and — in count mode — the event mask AND the
+            # count net input stay home (the step derives all three from
+            # the event list + optional raw coords / rectification
+            # gather index)
             pol_in = None
-            x_in = b["net_input"]
             if config["data"]["voxel"] is not None:
+                x_in = jnp.asarray(b["net_input"])
                 emask_in = jnp.asarray(b["event_mask"])
             else:
-                emask_in = None
-                x_in = pack_net_input(x_in)
+                x_in = emask_in = None
+                if "event_raw_xy" in b:
+                    raw_in = jnp.asarray(b["event_raw_xy"])
+                ridx_in = _cur_ridx[0]
         want = (
             _pass_extras
             and meta is not None
@@ -396,9 +406,10 @@ def test(args, config_parser: YAMLParser):
         aux = (jnp.asarray(b["gtflow"])
                if (want and _aee_in_program) else 0.0)
         out = _eval_step[0](
-            vstate, carry, params, jnp.asarray(x_in),
+            vstate, carry, params, x_in,
             ev_in, pol_in, emask_in,
             n_active=passes_done + 1, aux=aux, with_extras=want,
+            raw=raw_in, ridx=ridx_in,
         )
         if want:
             vstate, carry, flow_fine, window_mets = out
@@ -417,11 +428,13 @@ def test(args, config_parser: YAMLParser):
         width still matches the live bucket."""
         nonlocal vstate, carry, passes_done, vstate_stale, window_mets
         vstate_stale = False
+        raw = ridx = None
         if staged is not None and staged[1].shape[2] == criteria.n_events:
-            xs, evs, pols, emasks, aux = staged
+            xs, evs, pols, emasks, aux, raw, ridx = staged
         elif eval_mesh is None:
             with tm("window_assemble"):
-                xs, evs, pols, emasks, aux = _stage_window(wbuf)
+                xs, evs, pols, emasks, aux, raw, ridx = _stage_window(
+                    wbuf, ridx=_cur_ridx[0])
         else:
             with tm("window_assemble"):
                 xs = jnp.asarray(np.stack([b["net_input"] for b in wbuf]))
@@ -434,11 +447,13 @@ def test(args, config_parser: YAMLParser):
         with tm("window_call"):
             if _use_extras:
                 vstate, carry, flow_fine, window_mets = _window_step[0](
-                    vstate, carry, params, xs, evs, pols, emasks, aux
+                    vstate, carry, params, xs, evs, pols, emasks, aux,
+                    raw, ridx
                 )
             else:
                 vstate, carry, flow_fine = _window_step[0](
-                    vstate, carry, params, xs, evs, pols, emasks
+                    vstate, carry, params, xs, evs, pols, emasks,
+                    raw=raw, ridx=ridx
                 )
         passes_done = passes
         wbuf.clear()
@@ -447,7 +462,7 @@ def test(args, config_parser: YAMLParser):
     from taming_event_flow_tpu.utils import ProgressBar
     from taming_event_flow_tpu.data.prefetch import Prefetcher
 
-    def _stage_window(bufs):
+    def _stage_window(bufs, ridx=None):
         """Stack a clean P-pass window and start its H2D transfers (from
         the producer thread — ``jnp.asarray`` is async, so the wire time
         overlaps the consumer's device dispatches).
@@ -455,34 +470,44 @@ def test(args, config_parser: YAMLParser):
         Packed wire formats (the window program unpacks; exact by
         construction): polarity masks aren't shipped at all (the program
         derives ``[p>0, p<0]`` from the event lists — the loader's own
-        construction, data/base.py), count net inputs narrow to
-        uint8/uint16 (pack_net_input)
-        (integer counts, nearest remap — data/base.py; 24.6 -> 12.3
-        MB/window at DSEC scale), and with the count encoding the event
-        mask is derived from ``net_input`` on device too."""
+        construction, data/base.py), count net inputs and event masks
+        aren't shipped either (the program rebuilds the count encoding
+        from the event lists + optional raw coords / the sequence's
+        rectification gather index ``ridx`` —
+        ops/encodings.derive_count_input, again the loader's own
+        construction; 24.6 -> ~6 MB/window at DSEC scale)."""
         aux = (jnp.asarray(bufs[-1]["gtflow"])
                if (_use_extras and _aee_in_program) else 0.0)
-        emasks = None
-        xs = np.stack([b["net_input"] for b in bufs])
-        pols = None  # pol masks derive on device from the polarity column
+        emasks = pols = raw = None
+        xs = None
         if not _packed_wire:
+            xs = jnp.asarray(np.stack([b["net_input"] for b in bufs]))
             emasks = jnp.asarray(
                 np.stack([b["event_mask"] for b in bufs]))
             pols = jnp.asarray(np.stack(
                 [b["event_list_pol_mask"] for b in bufs]).astype(bool))
+            ridx = None
         elif config["data"]["voxel"] is not None:
-            # voxel net input: fractional values and the mask is not
-            # derivable — ship both as-is
+            # voxel net input: fractional values (not exactly derivable
+            # in f32) and the mask is not count-derived — ship both as-is
+            xs = jnp.asarray(np.stack([b["net_input"] for b in bufs]))
             emasks = jnp.asarray(
                 np.stack([b["event_mask"] for b in bufs]))
-        else:
-            xs = pack_net_input(xs)
+            ridx = None
+        elif "event_raw_xy" in bufs[0]:
+            # rectified sequence: the event lists carry fractional
+            # rectified coords; the count encoding derives from the raw
+            # integer coords + the gather index instead
+            raw = jnp.asarray(
+                np.stack([b["event_raw_xy"] for b in bufs]))
         return (
-            jnp.asarray(xs),
+            xs,
             jnp.asarray(np.stack([b["event_list"] for b in bufs])),
             pols,
             emasks,
             aux,
+            raw,
+            ridx,
         )
 
     def batch_stream():
@@ -505,15 +530,23 @@ def test(args, config_parser: YAMLParser):
             and config["loader"].get("n_events_pad")
         )
         grouper = WindowGrouper(passes)
+        ridx_dev = "unset"  # device-cached rectification gather index
         while True:
             b = data.next_batch()
             if b["ts_jump_reset"].any():
                 data.clear_ts_jump()
+            if ridx_dev == "unset" or b["new_seq"].any():
+                # the lane's rectification mapping (and so its gather
+                # index) changes only on sequence rollover; upload once
+                # per sequence from the producer thread
+                r = data.remap_indices()
+                ridx_dev = jnp.asarray(r) if r is not None else None
             meta = {
                 "sequence": data.seq_name,
                 "ts": data.last_proc_timestamp,
                 "end_test": data.seq_num >= len(data.files),
                 "bar_iters": data.get_iters(data.lanes[0]),
+                "remap_idx": ridx_dev,
             }
             if stage and not meta["end_test"]:
                 full = grouper.feed(
@@ -522,7 +555,7 @@ def test(args, config_parser: YAMLParser):
                          and b["ts_jump_reset"].any()),
                 )
                 if full is not None:
-                    meta["staged"] = _stage_window(full)
+                    meta["staged"] = _stage_window(full, ridx=ridx_dev)
             yield b, meta
             if meta["end_test"]:
                 return
@@ -536,6 +569,7 @@ def test(args, config_parser: YAMLParser):
     try:
         for batch, meta in tm.wrap(prefetcher, "wait_batch"):
             sequence = meta["sequence"]
+            _cur_ridx[0] = meta.get("remap_idx")
 
             if config["vis"].get("bars"):
                 if bar is None:

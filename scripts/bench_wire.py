@@ -125,13 +125,18 @@ def main():
             del d
         return float(np.median(ts))
 
+    derived = {k: v for k, v in packed.items() if k != "net_input"}
     mb_cur = sum(v.nbytes for v in cur.values()) / (1 << 20)
     mb_pk = sum(v.nbytes for v in packed.values()) / (1 << 20)
+    mb_dv = sum(v.nbytes for v in derived.values()) / (1 << 20)
     t_cur = window_time(cur)
     t_pk = window_time(packed)
+    t_dv = window_time(derived)
     print(f"\ntrain window  f32 wire: {mb_cur:6.1f} MB  {t_cur * 1e3:8.1f} ms")
     print(f"train window packed   : {mb_pk:6.1f} MB  {t_pk * 1e3:8.1f} ms "
           f"({t_cur / t_pk:.2f}x)")
+    print(f"train window derived  : {mb_dv:6.1f} MB  {t_dv * 1e3:8.1f} ms "
+          f"({t_cur / t_dv:.2f}x)")
 
     # DSEC eval window (480x640, 10 passes, 32k events)
     P, B, N, H, W = 10, 1, 32768, 480, 640
@@ -145,13 +150,44 @@ def main():
         "event_txy": cur["event_list"][..., :3],
         "event_p": cur["event_list"][..., 3].astype(np.int8),
     }
+    derived = {k: v for k, v in packed.items() if k != "net_input"}
+    # rectified sequences additionally ship raw integer coords
+    derived["event_raw_xy"] = rng.integers(
+        0, 480, (P, B, N, 2)).astype(np.uint16)
     mb_cur = sum(v.nbytes for v in cur.values()) / (1 << 20)
     mb_pk = sum(v.nbytes for v in packed.values()) / (1 << 20)
+    mb_dv = sum(v.nbytes for v in derived.values()) / (1 << 20)
     t_cur = window_time(cur)
     t_pk = window_time(packed)
+    t_dv = window_time(derived)
     print(f"\ndsec window  cur wire : {mb_cur:6.1f} MB  {t_cur * 1e3:8.1f} ms")
     print(f"dsec window packed    : {mb_pk:6.1f} MB  {t_pk * 1e3:8.1f} ms "
           f"({t_cur / t_pk:.2f}x)")
+    print(f"dsec window derived   : {mb_dv:6.1f} MB  {t_dv * 1e3:8.1f} ms "
+          f"({t_cur / t_dv:.2f}x, incl. rectified raw coords)")
+
+    # device-side cost of the count derivation the derived wire adds
+    from taming_event_flow_tpu.ops.encodings import derive_count_input
+
+    evs_d = jnp.asarray(cur["event_list"])
+    raw_d = jnp.asarray(derived["event_raw_xy"])
+    ridx_d = jnp.asarray(
+        rng.permutation(480 * 640).reshape(1, 480, 640).astype(np.int32) + 1
+    )
+    fn = __import__("jax").jit(
+        lambda e, r, i: derive_count_input(e, (480, 640), raw_xy=r,
+                                           remap_idx=i)
+    )
+    import time as _t
+
+    np.asarray(fn(evs_d, raw_d, ridx_d).ravel()[:1])  # compile
+    ts = []
+    for _ in range(5):
+        t0 = _t.perf_counter()
+        np.asarray(fn(evs_d, raw_d, ridx_d).ravel()[:1])
+        ts.append(_t.perf_counter() - t0)
+    print(f"derive_count_input on device (DSEC window, rect): "
+          f"{float(np.median(ts)) * 1e3:.1f} ms")
 
 
 if __name__ == "__main__":

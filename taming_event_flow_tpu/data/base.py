@@ -230,6 +230,21 @@ class BaseStreamLoader:
         my = np.clip(np.rint(mapping[..., 1]), 0, self.res[0] - 1).astype(int)
         return img_hwc[my, mx]
 
+    def remap_index(self, mapping) -> Optional[np.ndarray]:
+        """Capture :meth:`remap`'s pixel lookup as a gather index.
+
+        Remaps an index image through the SAME code path the count/voxel
+        representations use, so a device-side gather with the result is
+        element-for-element the host remap for ANY image. Returns ``[H, W]``
+        int32, **1-based** (0 marks out-of-source pixels — cv2's
+        border-constant fill), or ``None`` without a mapping.
+        """
+        if mapping is None:
+            return None
+        h, w = self.res
+        idx_img = np.arange(1, h * w + 1, dtype=np.float32).reshape(h, w)
+        return self.remap(idx_img, mapping).astype(np.int32)
+
     def assemble_sample(self, lane, xs, ys, ts, ps, rect_map, rect_mapping,
                         gt: Dict[str, np.ndarray]):
         """One lane window -> output dict (unpadded, HWC numpy).
@@ -293,6 +308,15 @@ class BaseStreamLoader:
             "event_list_pol_mask": pol_mask,
             "grad_mask": grad_mask,
         }
+        if rect_map is not None:
+            # raw (pre-rectification, post-augmentation) integer coords:
+            # with these + remap_index the packed wire derives the count
+            # net input on device (ops/encodings.derive_count_input)
+            # instead of shipping it
+            raw_xy = np.empty((n_ev, 2), np.uint16)
+            raw_xy[:, 0] = ys
+            raw_xy[:, 1] = xs
+            out["event_raw_xy"] = raw_xy
         out.update(gt)
         return out
 
@@ -301,7 +325,15 @@ class BaseStreamLoader:
     def collate(self, samples: List[Dict[str, np.ndarray]]):
         """Stack lane samples into a static-shape batch
         (reference ``dataloader/base.py:391-434``)."""
-        ragged = {"event_list", "event_list_pol_mask", "grad_mask"}
+        ragged = {"event_list", "event_list_pol_mask", "grad_mask",
+                  "event_raw_xy"}
+        # batch only the keys every lane produced: per-lane optional keys
+        # (K_rect, event_raw_xy) drop out of MIXED rect/non-rect batches —
+        # their consumers are lane-homogeneous paths (the packed-wire
+        # producers re-check, and the train derive gate is loader-global)
+        keys = set(samples[0])
+        for s in samples[1:]:
+            keys &= set(s)
         max_n = max(s["event_list"].shape[0] for s in samples)
         n_pad = bucket_size(max_n, self.fixed_n)
         if self.fixed_n is not None and max_n > self.fixed_n:
@@ -319,7 +351,7 @@ class BaseStreamLoader:
                 stacklevel=2,
             )
         batch = {}
-        for key in samples[0]:
+        for key in (k for k in samples[0] if k in keys):
             if key in ragged:
                 # fill a zeroed [B, n_pad, C] buffer directly: one copy per
                 # sample instead of pad_events + np.stack (two)

@@ -19,7 +19,11 @@ import yaml
 
 class CacheDataset:
     def __init__(self, config: Dict, directory: str, mode: str = "train"):
-        self.keys = {}
+        # sample-schema version: bump whenever the loader's output dict
+        # changes shape/keys, so stale caches cannot silently feed the
+        # packed-wire derivation (e.g. rectified samples cached before
+        # event_raw_xy existed)
+        self.keys = {"schema": 2}
         for key in ["path", "mode", "window", "voxel"]:
             self.keys[key] = config["data"].get(key)
         for key in ["resolution", "augment", "augment_prob"]:

@@ -210,9 +210,11 @@ class H5Loader(BaseStreamLoader):
             lane.rectify_map = lane.file["rectification/rectify_map"][:]
             K_rect, mapping, Q_rect = self._rectification_mapping(lane)
             lane.K_rect, lane.rect_mapping, lane.Q_rect = K_rect, mapping, Q_rect
+            lane.remap_idx = self.remap_index(mapping)
         else:
             lane.rectify_map = None
             lane.rect_mapping = None
+            lane.remap_idx = None
 
         lane.flowmaps = (
             FlowMapsIndex(lane.file) if self.mode == "gtflow" else None
@@ -268,6 +270,26 @@ class H5Loader(BaseStreamLoader):
         K4h = np.concatenate([K4h, np.array([[0, 0, 0, 1.0]])], axis=0)
         lane.inv_K_rect = np.linalg.pinv(K4h).astype(np.float32)
         return K4h.astype(np.float32), np.ascontiguousarray(mapping), Q_rect
+
+    def remap_indices(self) -> Optional[np.ndarray]:
+        """Current per-lane backward-rectification gather indices, stacked
+        ``[B, H, W]`` int32 (1-based; 0 = out-of-source — see
+        ``base.remap_index``), or ``None`` when no lane is rectified.
+        Non-rectified lanes in a mixed batch get the identity index.
+
+        Valid for the batches produced SINCE the last lane rollover — call
+        again after any ``new_seq`` (flip augmentation re-rolls change the
+        mapping). Consumed by the packed-wire producers to derive count
+        net inputs on device (``ops/encodings.derive_count_input``).
+        """
+        if all(lane.remap_idx is None for lane in self.lanes):
+            return None
+        h, w = self.res
+        identity = np.arange(1, h * w + 1, dtype=np.int32).reshape(h, w)
+        return np.stack([
+            lane.remap_idx if lane.remap_idx is not None else identity
+            for lane in self.lanes
+        ])
 
     # -------------------------------------------------------- event access
 
@@ -498,7 +520,9 @@ class H5Loader(BaseStreamLoader):
                 lane_idx, xs, ys, ts, ps, lane.rectify_map,
                 lane.rect_mapping, gt,
             )
-            if self.rectify:
+            if lane.K_rect is not None:  # per lane — a mixed batch must
+                # not emit None rows (reference carries these only for
+                # homogeneous rectified datasets, ``h5.py:425-431``)
                 out["K_rect"] = lane.K_rect
                 out["inv_K_rect"] = lane.inv_K_rect
 

@@ -23,6 +23,7 @@ def write_synthetic_h5(
     seed: int = 0,
     flow_magnitude: float = 2.0,
     gt_gap_after: Optional[int] = None,
+    rectify: bool = False,
 ):
     """Create one synthetic event sequence.
 
@@ -30,6 +31,11 @@ def write_synthetic_h5(
         ``timestamp_from/to`` attrs evenly tiling the duration.
     :param gt_gap_after: if set, inserts a temporal gap in the events after
         this fraction of the duration (exercises ``ts_jump`` detection).
+    :param rectify: if True, adds a DSEC-style ``rectification/rectify_map``
+        + ``calibration/*`` (stringified dicts, reference
+        ``dataloader/base.py:71-101``) for a mildly distorted camera, so
+        the rectified loader/eval paths are exercisable without real DSEC
+        data. Requires cv2.
     """
     rng = np.random.default_rng(seed)
     ts = np.sort(rng.uniform(0, duration, n_events)) + t_start
@@ -49,6 +55,44 @@ def write_synthetic_h5(
         f.attrs["t0"] = ts[0]
         f.attrs["tk"] = ts[-1]
         f.attrs["duration"] = float(ts[-1] - ts[0])
+
+        if rectify:
+            import cv2
+
+            h, w = res
+            fx = fy = float(max(h, w))
+            cx, cy = (w - 1) / 2.0, (h - 1) / 2.0
+            dist = [0.05, -0.02, 0.001, 0.001]
+            K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1.0]])
+            # forward per-event map: undistort every integer pixel
+            grid = np.stack(
+                np.meshgrid(np.arange(w, dtype=np.float64),
+                            np.arange(h, dtype=np.float64)),
+                axis=-1,
+            ).reshape(-1, 1, 2)
+            rect = cv2.undistortPoints(
+                grid, K, np.array(dist), R=np.eye(3), P=K
+            ).reshape(h, w, 2)
+            f.create_dataset(
+                "rectification/rectify_map",
+                data=rect.astype(np.float32),
+            )
+            cam = {
+                "camera_matrix": [fx, fy, cx, cy],
+                "distortion_coeffs": dist,
+            }
+            f.create_dataset(
+                "calibration/intrinsics",
+                data=str({"cam0": cam, "camRect0": cam}),
+            )
+            f.create_dataset(
+                "calibration/extrinsics",
+                data=str({"R_rect0": np.eye(3).tolist()}),
+            )
+            f.create_dataset(
+                "calibration/disparity_to_depth",
+                data=str({"cams_03": np.eye(4).tolist()}),
+            )
 
         if n_flow_frames > 0:
             if gt_gap_after is None:

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 
 
@@ -52,6 +53,67 @@ def events_to_voxel(xs, ys, ts, ps, num_bins: int,
             events_to_image(xs, ys, ps * weights, sensor_size, valid=valid)
         )
     return jnp.stack(bins, axis=-1)
+
+
+def derive_count_input(event_list, res: Tuple[int, int],
+                       raw_xy=None, remap_idx=None):
+    """Device-side twin of the host loader's count net-input assembly
+    (``data/base.py assemble_sample``: ``events_to_channels_np`` at the
+    raw augmented coordinates, then the nearest-neighbor rectification
+    ``remap``) — element-for-element the host values for integer counts,
+    so the packed wire can skip shipping ``net_input`` entirely and
+    rebuild it from the event lists it ships anyway.
+
+    :param event_list: ``[..., N, 4]`` (ts, y, x, p) padded events; padding
+        rows carry ``p == 0`` and contribute nothing.
+    :param raw_xy: optional ``[..., N, 2]`` (y, x) RAW (pre-rectification,
+        post-augmentation) integer coordinates — required when the event
+        list carries rectified (fractional) coordinates; without it the
+        list's own (y, x) columns are used.
+    :param remap_idx: optional ``[B, H*W]``-reshapeable ``[B, H, W]``
+        int32 backward-rectification gather index, **1-based** with ``0``
+        marking out-of-source pixels (``data/h5.py remap_indices``) —
+        the exact pixel lookup the host's ``cv2.remap(INTER_NEAREST)``
+        performs, captured by remapping an index image. Broadcasts over
+        leading (pass) axes when ``event_list`` is pass-stacked.
+    :return: ``[..., H, W, 2]`` f32 per-polarity counts.
+    """
+    h, w = res
+    coords = raw_xy.astype(jnp.float32) if raw_xy is not None \
+        else event_list[..., 1:3]
+    ys, xs = coords[..., 0], coords[..., 1]
+    ps = event_list[..., 3]
+    lead = event_list.shape[:-2]
+    n = event_list.shape[-2]
+    hw = h * w
+
+    # one scatter over a polarity-offset flat index (exactly the numpy
+    # twin's single bincount, ``data/base.py events_to_channels_np``):
+    # positive events land in plane 0 with weight |p|, negative in plane
+    # 1, padding (p == 0) contributes zero — half the scatter work of
+    # two per-plane events_to_image calls
+    xi = jnp.clip(xs.astype(jnp.int32), 0, w - 1)
+    yi = jnp.clip(ys.astype(jnp.int32), 0, h - 1)
+    idx = (yi * w + xi + jnp.where(ps < 0, hw, 0)).reshape((-1, n))
+    vals = jnp.abs(ps).reshape((-1, n))
+    img = jnp.zeros((idx.shape[0], 2 * hw), vals.dtype)
+    img = jax.vmap(lambda im, ix, v: im.at[ix].add(v))(img, idx, vals)
+    cnt = jnp.moveaxis(
+        img.reshape((-1, 2, h, w)), 1, -1
+    ).reshape(lead + (h, w, 2))
+
+    if remap_idx is not None:
+        idx = jnp.broadcast_to(
+            remap_idx.reshape(remap_idx.shape[:-2] + (h, w)),
+            lead + (h, w),
+        ).reshape((-1, h * w))
+        flat = cnt.reshape((-1, h * w, 2))
+        safe = jnp.maximum(idx - 1, 0)
+        g = jnp.take_along_axis(flat, safe[..., None], axis=1)
+        cnt = jnp.where(idx[..., None] > 0, g, 0.0).reshape(
+            lead + (h, w, 2)
+        )
+    return cnt
 
 
 def events_to_channels(xs, ys, ps, sensor_size: Tuple[int, int], valid=None):

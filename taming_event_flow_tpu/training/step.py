@@ -50,7 +50,8 @@ def build_optimizer(opt_config: Dict, clip_grad: Optional[float] = None):
     return tx
 
 
-def unpack_window(window: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+def unpack_window(window: Dict[str, jnp.ndarray],
+                  res: Optional[tuple] = None) -> Dict[str, jnp.ndarray]:
     """Device-side inverse of the packed wire format
     (:func:`taming_event_flow_tpu.training.window.stack_window` with
     ``packed=True``); identity (all casts no-ops) for a plain f32 window.
@@ -58,16 +59,33 @@ def unpack_window(window: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
     Exactness: polarity is ±1/0 so int8 -> f32 is exact and the derived
     ``pol_mask`` ``[p>0, p<0]`` is the loader's own construction
     (``data/base.py assemble_sample``); ``grad_mask`` values are 0/1; a
-    a narrowed integer ``net_input`` is only shipped when the count
-    encoding fits it exactly (``window.pack_net_input``).
+    narrowed integer ``net_input`` is only shipped when the count
+    encoding fits it exactly (``window.pack_net_input``) — or not shipped
+    at all (``derive_net``), in which case the count encoding rebuilds
+    from the event lists (+ optional raw coords / rectification gather
+    index) via :func:`ops.encodings.derive_count_input`, the host
+    loader's own construction. ``res`` is required only for that path.
     """
     if "event_txy" in window:
         p = window["event_p"].astype(jnp.float32)
+        event_list = jnp.concatenate(
+            [window["event_txy"], p[..., None]], axis=-1
+        )
+        if "net_input" in window:
+            net = window["net_input"]
+        else:
+            from taming_event_flow_tpu.ops.encodings import (
+                derive_count_input,
+            )
+
+            raw = window.get("event_raw_xy")
+            net = derive_count_input(
+                event_list, res, raw_xy=raw,
+                remap_idx=window.get("remap_idx"),
+            )
         window = {
-            "net_input": window["net_input"],
-            "event_list": jnp.concatenate(
-                [window["event_txy"], p[..., None]], axis=-1
-            ),
+            "net_input": net,
+            "event_list": event_list,
             "pol_mask": jnp.stack([p > 0, p < 0], axis=-1),
             "grad_mask": window["grad_mask"],
         }
@@ -81,7 +99,8 @@ def unpack_window(window: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
 
 def make_train_step(model, optimizer, loss_cfg: LossConfig,
                     warping: str = "Iterative", flow_scaling: float = 32.0,
-                    donate: bool = True) -> Callable:
+                    donate: bool = True,
+                    res: Optional[tuple] = None) -> Callable:
     """Build the jitted window step.
 
     Returned signature::
@@ -98,7 +117,7 @@ def make_train_step(model, optimizer, loss_cfg: LossConfig,
     loss_fn = LOSS_REGISTRY[warping]
 
     def step(state: TrainState, raw_window: Dict[str, jnp.ndarray]):
-        window = unpack_window(raw_window)
+        window = unpack_window(raw_window, res=res)
         def compute_loss(params):
             def body(carry, inp):
                 x = inp
@@ -178,12 +197,22 @@ def make_eval_step(model, val, flow_scaling: float = 32.0,
 
     cache = {}
 
-    def body(k, want, vstate, carry, params, x, ev, pol, emask, aux=None):
+    def body(k, want, vstate, carry, params, x, ev, pol, emask, aux=None,
+             raw=None, ridx=None):
         # packed wire (all no-ops / dead branches for plain f32 inputs):
-        # narrowed count net inputs cast up; a None pol derives [p>0, p<0]
-        # from the event list (the loader's construction, data/base.py);
-        # a None emask derives (cnt_pos + cnt_neg) > 0 from the count
-        # encoding (ditto)
+        # narrowed count net inputs cast up — or a None x derives the
+        # count encoding from the event list (+ optional raw coords /
+        # rectification gather index), the loader's construction
+        # (ops/encodings.derive_count_input); a None pol derives
+        # [p>0, p<0] from the event list (ditto); a None emask derives
+        # (cnt_pos + cnt_neg) > 0 from the count encoding (ditto)
+        if x is None:
+            from taming_event_flow_tpu.ops.encodings import (
+                derive_count_input,
+            )
+
+            x = derive_count_input(ev, val.cfg.res, raw_xy=raw,
+                                   remap_idx=ridx)
         x = x.astype(jnp.float32)
         if pol is None:
             p = ev[..., 3]
@@ -210,7 +239,7 @@ def make_eval_step(model, val, flow_scaling: float = 32.0,
         return vs, new_carry, flow_fine
 
     def step(vstate, carry, params, x, ev, pol, emask, n_active,
-             aux=None, with_extras=False):
+             aux=None, with_extras=False, raw=None, ridx=None):
         want = bool(with_extras and extras is not None)
         fn = cache.get((n_active, want))
         if fn is None:
@@ -218,8 +247,10 @@ def make_eval_step(model, val, flow_scaling: float = 32.0,
                          donate_argnums=(0, 1))
             cache[(n_active, want)] = fn
         if want:
-            return fn(vstate, carry, params, x, ev, pol, emask, aux)
-        return fn(vstate, carry, params, x, ev, pol, emask)
+            return fn(vstate, carry, params, x, ev, pol, emask, aux,
+                      raw, ridx)
+        return fn(vstate, carry, params, x, ev, pol, emask, raw=raw,
+                  ridx=ridx)
 
     return step
 
@@ -266,18 +297,29 @@ def make_eval_window_step(model, val, flow_scaling: float = 32.0,
     """
     passes = val.cfg.passes
 
-    def window(vstate, carry, params, xs, evs, pols, emasks, aux=None):
+    def window(vstate, carry, params, xs, evs, pols, emasks, aux=None,
+               raw=None, ridx=None):
         if reset_first:
             vstate = val.reset(vstate)
         # packed wire formats from the staging producer: count-encoding
         # net inputs travel narrowed (integer counts by construction,
-        # data/base.py); a None pols derives [p>0, p<0] from the event
-        # lists (the loader's construction) instead of shipping 2.6
-        # MB/window; a None emasks derives (cnt_pos + cnt_neg) > 0 from
-        # the count encoding (ditto, 12 MB/window at DSEC scale). All
-        # casts are no-ops for plain f32 inputs; xs casts BEFORE the mask
-        # derivation so the narrowed path is element-for-element the f32
-        # one.
+        # data/base.py) — or, with xs None, don't travel at all and
+        # derive from the event lists (+ optional raw coords /
+        # rectification gather index: ops/encodings.derive_count_input,
+        # the loader's construction — ~6 MB/window at DSEC scale); a
+        # None pols derives [p>0, p<0] from the event lists (ditto)
+        # instead of shipping 2.6 MB/window; a None emasks derives
+        # (cnt_pos + cnt_neg) > 0 from the count encoding (ditto, 12
+        # MB/window at DSEC scale). All casts are no-ops for plain f32
+        # inputs; xs casts BEFORE the mask derivation so the narrowed
+        # path is element-for-element the f32 one.
+        if xs is None:
+            from taming_event_flow_tpu.ops.encodings import (
+                derive_count_input,
+            )
+
+            xs = derive_count_input(evs, val.cfg.res, raw_xy=raw,
+                                    remap_idx=ridx)
         if pols is None:
             p = evs[..., 3]
             pols = jnp.stack([p > 0, p < 0], axis=-1)

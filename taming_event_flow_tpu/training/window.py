@@ -25,6 +25,7 @@ def stack_window(
     batches: List[Dict[str, np.ndarray]],
     packed: bool = False,
     net_compact: bool = False,
+    derive_net: bool = False,
 ) -> Dict[str, np.ndarray]:
     """Stack P collated batches into ``[P, B, ...]`` arrays for the train
     step, re-padding ragged event tensors to the window's max bucket.
@@ -45,7 +46,13 @@ def stack_window(
         remap — ``data/base.py events_to_channels_np``/``remap``) the net
         input ships as uint8/uint16 when it fits
         (:func:`pack_net_input`). Voxel-mode inputs are fractional —
-        leave ``net_compact`` off.
+        leave ``net_compact`` off;
+      * with ``derive_net`` (count mode, non-rectified lanes only — with
+        rectification a lane's gather map can change mid-window on
+        rollover) the net input is not shipped at all: the device step
+        rebuilds it from the event lists
+        (``ops/encodings.derive_count_input``). Exact for integer
+        counts; padding rows carry p=0 and contribute nothing.
 
     At the reference training config the wire drops 28.8 -> 14.4 MB per
     optimizer step.
@@ -60,10 +67,9 @@ def stack_window(
         padded[:, :k] = arr
         return padded
 
-    net = np.stack([b["net_input"] for b in batches])
     if not packed:
         return {
-            "net_input": net,
+            "net_input": np.stack([b["net_input"] for b in batches]),
             "event_list": np.stack([pad(b["event_list"]) for b in batches]),
             "pol_mask": np.stack(
                 [pad(b["event_list_pol_mask"]) for b in batches]
@@ -81,6 +87,9 @@ def stack_window(
         txy[i, :, :k] = ev[..., :3]
         pol[i, :, :k] = ev[..., 3]
         grad[i, :, :k] = b["grad_mask"] != 0
+    if derive_net:
+        return {"event_txy": txy, "event_p": pol, "grad_mask": grad}
+    net = np.stack([b["net_input"] for b in batches])
     if net_compact:
         net = pack_net_input(net)
     return {
@@ -94,7 +103,8 @@ def stack_window(
 def pad_batch_events(batch: Dict[str, np.ndarray], n: int):
     """Re-pad one batch's ragged event tensors to length ``n`` (>= current)."""
     out = dict(batch)
-    for key in ["event_list", "event_list_pol_mask", "grad_mask"]:
+    for key in ["event_list", "event_list_pol_mask", "grad_mask",
+                "event_raw_xy"]:
         if key in out:
             arr = out[key]
             if arr.shape[1] < n:

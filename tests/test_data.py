@@ -403,3 +403,54 @@ def test_section_timer_wrap_and_report():
     except ValueError:
         pass
     assert tm.counts["b"] == 1
+
+
+def test_remap_index_reproduces_remap(rng, monkeypatch):
+    """``remap_index`` captures :meth:`BaseStreamLoader.remap`'s pixel
+    lookup: gathering any image with the returned 1-based index equals
+    remapping that image — through BOTH remap code paths (cv2 and the
+    numpy fallback) and with out-of-source map coordinates."""
+    from taming_event_flow_tpu.data import base as base_mod
+    from taming_event_flow_tpu.data.base import BaseStreamLoader
+
+    res = (9, 11)
+    loader = BaseStreamLoader({
+        "data": {"voxel": None},
+        "loader": {"resolution": list(res), "batch_size": 1,
+                   "augment": [], "augment_prob": [], "seed": 0},
+    })
+
+    mapping = np.zeros(res + (2,), np.float32)
+    mapping[..., 0] = rng.uniform(-1.5, res[1] + 0.5, res)  # x (some oob)
+    mapping[..., 1] = rng.uniform(-1.5, res[0] + 0.5, res)  # y
+
+    img = rng.normal(size=res + (2,)).astype(np.float32)
+
+    def gather(idx):
+        flat = img.reshape(-1, 2)
+        safe = np.maximum(idx - 1, 0).reshape(-1)
+        out = np.where(
+            (idx.reshape(-1) > 0)[:, None], flat[safe], 0.0
+        )
+        return out.reshape(res + (2,))
+
+    for use_cv2 in (True, False):
+        if not use_cv2:
+            monkeypatch.setattr(base_mod, "cv2", None)
+        elif base_mod.cv2 is None:
+            continue
+        idx = loader.remap_index(mapping)
+        assert idx.dtype == np.int32 and idx.shape == res
+        np.testing.assert_array_equal(
+            gather(idx), loader.remap(img, mapping)
+        )
+    # identity mapping -> identity index (1-based)
+    ident = np.stack(
+        np.meshgrid(np.arange(res[1], dtype=np.float32),
+                    np.arange(res[0], dtype=np.float32)),
+        axis=-1,
+    )
+    idx = loader.remap_index(ident)
+    np.testing.assert_array_equal(
+        idx, np.arange(1, res[0] * res[1] + 1).reshape(res)
+    )

@@ -421,6 +421,10 @@ def test_eval_packed_wire_ab_identical_outputs(trained_run, tmp_path):
         with open(make_eval_cfg(root, ds, store=True)) as f:
             cfg = yaml.safe_load(f)
         cfg["runtime"] = {"packed_wire": packed}
+        # odd cap -> no event mesh on the 8-device test platform: the A/B
+        # must exercise the packed single-device paths (windowed staging
+        # + device-side derivation), not the sharded plain wire
+        cfg["loader"]["n_events_pad"] = 1001
         cfg_path = write_cfg(tmp_path / f"eval_{tag}.yml", cfg)
         args = argparse.Namespace(
             runid=runid, config=cfg_path, path_mlflow=str(root),
@@ -471,3 +475,62 @@ def test_train_packed_wire_ab_identical_loss(workspace, tmp_path):
     losses_on = run(True, "on")
     losses_off = run(False, "off")
     assert losses_on and losses_on == losses_off
+
+
+def test_eval_packed_wire_ab_rectified(workspace, tmp_path):
+    """Packed-wire A/B on a RECTIFIED synthetic sequence: the device-side
+    count derivation must route through raw coords + the rectification
+    gather index (event lists carry fractional rectified coords there) and
+    still produce identical metrics and PNG bytes through the real CLIs."""
+    import pathlib
+
+    pytest.importorskip("cv2")
+    root, _ = workspace
+    from taming_event_flow_tpu.configs import YAMLParser
+    import train_flow
+    import eval_flow
+
+    ds = tmp_path / "rect_data"
+    ds.mkdir()
+    write_synthetic_h5(
+        str(ds / "seq0.h5"), n_events=3000, res=RES, n_flow_frames=8,
+        seed=5, rectify=True,
+    )
+
+    with open(make_train_cfg(root, str(ds))) as f:
+        tcfg = yaml.safe_load(f)
+    tcfg["loader"]["n_epochs"] = 1
+    tcfg_path = write_cfg(tmp_path / "train_rect.yml", tcfg)
+    args = argparse.Namespace(
+        config=tcfg_path, path_mlflow=str(root), path_cache="",
+        prev_runid="",
+    )
+    runid = train_flow.train(args, YAMLParser(tcfg_path))
+
+    def run(packed, tag):
+        with open(make_eval_cfg(root, str(ds), store=True)) as f:
+            cfg = yaml.safe_load(f)
+        cfg["runtime"] = {"packed_wire": packed}
+        cfg["loader"]["n_events_pad"] = 1001  # single-device packed path
+        cfg_path = write_cfg(tmp_path / f"eval_rect_{tag}.yml", cfg)
+        eargs = argparse.Namespace(
+            runid=runid, config=cfg_path, path_mlflow=str(root),
+            path_results=str(tmp_path / f"res_rect_{tag}") + "/",
+        )
+        results = eval_flow.test(eargs, YAMLParser(cfg_path))
+        base = pathlib.Path(tmp_path / f"res_rect_{tag}" / runid / "results")
+        pngs = {
+            str(p.relative_to(base)): p.read_bytes()
+            for p in sorted(base.rglob("*.png"))
+        }
+        return results, pngs
+
+    r_on, png_on = run(True, "on")
+    r_off, png_off = run(False, "off")
+    assert png_on and sorted(png_on) == sorted(png_off)
+    for k in png_on:
+        assert png_on[k] == png_off[k], f"PNG bytes differ: {k}"
+    for metric in r_off:
+        for seq in r_off[metric]:
+            assert float(r_on[metric][seq]) == float(r_off[metric][seq]), (
+                metric, seq)

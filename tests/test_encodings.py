@@ -78,3 +78,77 @@ def test_events_to_channels_parity(rng):
     np.testing.assert_allclose(
         ours, np.moveaxis(to_np(ref), 0, -1), atol=1e-5
     )
+
+
+def test_derive_count_input_matches_host(rng):
+    """Device-side count net-input derivation == the host loader's
+    construction (``data/base.py``): bincount at truncated integer coords,
+    per-polarity planes, padding rows (p=0) contributing nothing."""
+    from taming_event_flow_tpu.data.base import events_to_channels_np
+    from taming_event_flow_tpu.ops.encodings import derive_count_input
+
+    h, w = SENSOR
+    p_ct, b_ct, n = 3, 2, 50
+    ev = np.zeros((p_ct, b_ct, n, 4), np.float32)
+    ev[..., 0] = rng.uniform(0, 1, (p_ct, b_ct, n))
+    ev[..., 1] = rng.uniform(0, h - 1e-3, (p_ct, b_ct, n))
+    ev[..., 2] = rng.uniform(0, w - 1e-3, (p_ct, b_ct, n))
+    ev[..., 3] = rng.choice([-1.0, 1.0], (p_ct, b_ct, n))
+    ev[:, :, -7:] = 0.0  # padding rows
+
+    host = np.stack([
+        np.stack([
+            events_to_channels_np(
+                ev[p, b, :, 2], ev[p, b, :, 1], ev[p, b, :, 3], SENSOR
+            )
+            for b in range(b_ct)
+        ])
+        for p in range(p_ct)
+    ])
+    dev = np.asarray(derive_count_input(jnp.asarray(ev), SENSOR))
+    np.testing.assert_array_equal(dev, host)
+
+
+def test_derive_count_input_remap_and_raw_coords(rng):
+    """With raw coords + a 1-based gather index the derivation reproduces
+    host remap exactly, including out-of-source pixels (index 0 -> 0) and
+    broadcasting one [B,H,W] index over the pass axis."""
+    from taming_event_flow_tpu.data.base import events_to_channels_np
+    from taming_event_flow_tpu.ops.encodings import derive_count_input
+
+    h, w = SENSOR
+    p_ct, b_ct, n = 2, 2, 40
+    raw = np.zeros((p_ct, b_ct, n, 2), np.uint16)
+    raw[..., 0] = rng.integers(0, h, (p_ct, b_ct, n))
+    raw[..., 1] = rng.integers(0, w, (p_ct, b_ct, n))
+    ev = np.zeros((p_ct, b_ct, n, 4), np.float32)
+    # rectified (fractional) coords in the list — derivation must ignore
+    # them in favor of the raw ones
+    ev[..., 1] = raw[..., 0] + rng.uniform(-0.4, 0.4, (p_ct, b_ct, n))
+    ev[..., 2] = raw[..., 1] + rng.uniform(-0.4, 0.4, (p_ct, b_ct, n))
+    ev[..., 3] = rng.choice([-1.0, 1.0], (p_ct, b_ct, n))
+
+    # random per-lane gather index with out-of-source holes (0)
+    ridx = rng.integers(0, h * w + 1, (b_ct, h, w)).astype(np.int32)
+
+    host = np.zeros((p_ct, b_ct, h, w, 2), np.float32)
+    for p in range(p_ct):
+        for b in range(b_ct):
+            cnt = events_to_channels_np(
+                raw[p, b, :, 1].astype(np.float32),
+                raw[p, b, :, 0].astype(np.float32),
+                ev[p, b, :, 3], SENSOR,
+            ).reshape(h * w, 2)
+            idx = ridx[b].reshape(-1)
+            out = np.where(
+                (idx > 0)[:, None], cnt[np.maximum(idx - 1, 0)], 0.0
+            )
+            host[p, b] = out.reshape(h, w, 2)
+
+    dev = np.asarray(
+        derive_count_input(
+            jnp.asarray(ev), SENSOR,
+            raw_xy=jnp.asarray(raw), remap_idx=jnp.asarray(ridx),
+        )
+    )
+    np.testing.assert_array_equal(dev, host)

@@ -74,7 +74,7 @@ def setup():
     opt = build_optimizer({"name": "Adam", "lr": 1e-3}, clip_grad=100.0)
     state = init_train_state(model, opt, 1, RES[0], RES[1], 2)
     step = make_train_step(model, opt, cfg, "Iterative", flow_scaling=4.0,
-                           donate=False)
+                           donate=False, res=RES)
     return model, cfg, opt, state, step
 
 
@@ -318,15 +318,26 @@ def test_packed_wire_roundtrip_and_step_equivalence(setup, rng):
     from taming_event_flow_tpu.training.window import stack_window
     from taming_event_flow_tpu.training.step import unpack_window
 
+    from taming_event_flow_tpu.data.base import events_to_channels_np
+
     model, cfg, opt, state, step = setup
     w = make_window(rng, 1)
-    # per-pass collated batches, one of them ragged (shorter event list)
+    # per-pass collated batches, one of them ragged (a shorter window:
+    # fewer events, and a host count image counting exactly those — the
+    # loader's invariant)
     batches = []
     for p in range(P_PASSES):
         k = N - 7 if p == 1 else N
+        ev = w["event_list"][p][:, :k]
+        net = np.stack([
+            events_to_channels_np(
+                ev[b, :, 2], ev[b, :, 1], ev[b, :, 3], RES
+            )
+            for b in range(ev.shape[0])
+        ])
         batches.append({
-            "net_input": w["net_input"][p],
-            "event_list": w["event_list"][p][:, :k],
+            "net_input": net,
+            "event_list": ev,
             "event_list_pol_mask": w["pol_mask"][p][:, :k],
             "grad_mask": w["grad_mask"][p][:, :k],
         })
@@ -358,6 +369,29 @@ def test_packed_wire_roundtrip_and_step_equivalence(setup, rng):
             np.asarray(a), np.asarray(b)
         ),
         s_plain.params, s_packed.params,
+    )
+
+    # derive_net drops net_input from the wire entirely; the device
+    # rebuild (ops/encodings.derive_count_input via unpack_window) and
+    # the whole train step stay bit-identical
+    derived = stack_window(batches, packed=True, derive_net=True)
+    assert "net_input" not in derived
+    unpacked_d = jax.jit(lambda w: unpack_window(w, res=RES))(
+        {k: jnp.asarray(v) for k, v in derived.items()}
+    )
+    for key in plain:
+        np.testing.assert_array_equal(
+            np.asarray(unpacked_d[key]), plain[key], err_msg=key
+        )
+    s_derived, loss_derived = step(
+        state, {k: jnp.asarray(v) for k, v in derived.items()}
+    )
+    assert float(loss_plain) == float(loss_derived)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)
+        ),
+        s_plain.params, s_derived.params,
     )
 
 

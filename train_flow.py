@@ -262,6 +262,7 @@ def train(args, config_parser: YAMLParser):
             model, optimizer, loss_cfg,
             warping=config["loss"].get("warping", "Iterative"),
             flow_scaling=config["loss"].get("flow_scaling", 32),
+            res=tuple(res),
         )
 
     n_epochs = config["loader"]["n_epochs"]
@@ -329,8 +330,14 @@ def train(args, config_parser: YAMLParser):
             if len(window_batches) < passes:
                 continue
 
-            window = stack_window(window_batches, packed=packed,
-                                  net_compact=net_compact)
+            # count-mode net inputs derive on device when no lane is
+            # rectified (re-checked per window: a rectified file opening
+            # mid-stream flips data.rectify and later windows ship the
+            # remapped host encoding instead — stack_window docstring)
+            window = stack_window(
+                window_batches, packed=packed, net_compact=net_compact,
+                derive_net=packed and net_compact and not data.rectify,
+            )
             if device_stage:
                 window = {k: jnp.asarray(v) for k, v in window.items()}
             window_batches = []
