@@ -14,7 +14,10 @@ Run modes:
     predictions; the per-config "ms/step" is printed for shape-trend
     inspection only.
   * ``--real`` — use whatever devices the process sees (a real TPU mesh on
-    a pod slice). There the numbers are honest (readback-synced, see
+    a SINGLE-HOST slice; shardings here are plain ``jax.device_put`` over
+    ``jax.devices()``, so a multi-host slice needs the
+    ``parallel/multihost.py`` helpers instead — see ``tests/test_multihost``
+    for that path). There the numbers are honest (readback-synced, see
     bench_util.sync) and directly comparable to the single-chip
     ``scripts/bench_scaling.py`` grid.
 
@@ -24,6 +27,7 @@ Usage:
 
 import argparse
 import os
+import re
 import sys
 
 import numpy as np
@@ -45,16 +49,30 @@ def main(argv=None):
     n_dev = args.data * args.event
     if not args.real:
         # mirror tests/conftest.py: the env-var route is NOT honored on
-        # this stack (CLAUDE.md), pin via jax.config after import
+        # this stack (CLAUDE.md), pin via jax.config after import. Any
+        # pre-existing device-count flag (e.g. from a wrapper) is replaced,
+        # not duplicated.
+        flags = re.sub(
+            r"--xla_force_host_platform_device_count=\d+",
+            "",
+            os.environ.get("XLA_FLAGS", ""),
+        )
         os.environ["XLA_FLAGS"] = (
-            os.environ.get("XLA_FLAGS", "")
-            + f" --xla_force_host_platform_device_count={n_dev}"
+            flags + f" --xla_force_host_platform_device_count={n_dev}"
         ).strip()
         import jax
 
         jax.config.update("jax_platforms", "cpu")
     else:
         import jax
+
+        if jax.process_count() > 1:
+            parser.error(
+                "--real on a multi-host slice is not supported: this sweep "
+                "shards with plain device_put over jax.devices(); use the "
+                "parallel/multihost.py helpers (globalize_window/"
+                "globalize_state) for multi-process runs."
+            )
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     sys.path.insert(0, os.path.join(repo, "scripts"))
@@ -79,7 +97,9 @@ def main(argv=None):
           f"{devices[0].platform}", flush=True)
 
     res = (128, 128) if args.real else (64, 64)
+    # shard_map needs batch % data-axis == 0: round up to a multiple
     batch = max(8, args.data)
+    batch += -batch % args.data
     rng = np.random.default_rng(0)
 
     # --quick: dryrun-scale shapes (a CPU-mesh compile of the full-size
@@ -88,6 +108,13 @@ def main(argv=None):
         res, batch = (32, 32), args.data
     grid_p = (3,) if args.quick else (5, 10, 20)
     grid_n = (512,) if args.quick else (4096, 8192, 16384)
+    bad = [n for n in grid_n if n % args.event]
+    if bad:
+        parser.error(
+            f"event-axis size {args.event} does not divide the event grid "
+            f"{bad}; shard_map requires n_events % event == 0 — pick an "
+            "--event from {1, 2, 4, 8, 16}."
+        )
     for passes in grid_p:
         for n_events in grid_n:
             model = RecEVFlowNet(num_bins=2, final_w_scale=0.01)
