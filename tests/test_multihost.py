@@ -184,7 +184,15 @@ def test_two_process_cluster_matches_single_process(tmp_path):
 def test_train_cli_two_hosts_matches_single(tmp_path):
     """The real train_flow.py CLI over a 2-process cluster: same synthetic
     dataset, same seed — the distributed run's loss history must match the
-    single-process run's."""
+    single-process run's TIGHTLY.
+
+    Both runs are arranged to compile the SAME shard_map program — the
+    2-host run as (data=2 hosts, event=2 local devices), the single-process
+    run as (data=2, event=2) over 4 virtual devices — so reduction
+    association is structurally identical and the comparison needs no
+    drift allowance (the step-level analog,
+    ``test_two_process_cluster_matches_single_process``, pins the same
+    correspondence at rtol 1e-6)."""
     import yaml
 
     from taming_event_flow_tpu.data.synthetic import write_synthetic_h5
@@ -212,6 +220,9 @@ def test_train_cli_two_hosts_matches_single(tmp_path):
                    # the per-host program shapes identical (train_flow.py)
                    "n_events_pad": 1024},
         "vis": {"verbose": False, "enabled": False, "store": False},
+        # event axis 2: together with XLA_FLAGS below this makes BOTH runs
+        # compile the same (data=2, event=2) shard_map program
+        "parallel": {"event": 2},
     }
     cfg_path = tmp_path / "train.yml"
     cfg_path.write_text(yaml.safe_dump(cfg))
@@ -221,7 +232,7 @@ def test_train_cli_two_hosts_matches_single(tmp_path):
             os.environ,
             PYTHONPATH=REPO,
             JAX_PLATFORMS="cpu",
-            XLA_FLAGS="--xla_force_host_platform_device_count=1",
+            XLA_FLAGS="--xla_force_host_platform_device_count=2",
             JAX_COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
             JAX_NUM_PROCESSES="2",
             JAX_PROCESS_ID=str(pid),
@@ -249,7 +260,7 @@ def test_train_cli_two_hosts_matches_single(tmp_path):
     sp_dir = tmp_path / "sp"
     sp_dir.mkdir()
     env = dict(os.environ, PYTHONPATH=REPO, JAX_PLATFORMS="cpu",
-               XLA_FLAGS="--xla_force_host_platform_device_count=1")
+               XLA_FLAGS="--xla_force_host_platform_device_count=4")
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "train_flow.py"),
          "--config", str(cfg_path), "--path_mlflow", str(sp_dir)],
@@ -270,13 +281,10 @@ def test_train_cli_two_hosts_matches_single(tmp_path):
     mh = losses(str(mh_dir), runid)
     sp = losses(str(sp_dir), sp_runid)
     assert len(mh) == len(sp) >= 1
-    # the 2-host run compiles a shard_map program, the single-process run a
-    # plain jit one — different reduction association drifts last bits that
-    # compound over an epoch of optimizer steps (measured ~0.14% idle, more
-    # under CPU contention where XLA's threaded reductions split
-    # differently); exact equivalence at fixed program shape is pinned by
-    # test_two_process_cluster_matches_single_process
-    np.testing.assert_allclose(mh, sp, rtol=8e-2)
+    # same shard_map program on both sides (see docstring): only
+    # DCN-vs-local collective routing differs, which is associativity-
+    # preserving — tight agreement over the whole epoch history
+    np.testing.assert_allclose(mh, sp, rtol=1e-5)
     # checkpoint written by the main process only
     assert os.path.isfile(os.path.join(
         str(mh_dir), "mlruns", "0", runid, "artifacts", "model",
