@@ -757,6 +757,10 @@ def test(args, config_parser: YAMLParser):
                     )
     finally:
         prefetcher.close()
+        # flush the PNG writeback thread (and surface any worker error)
+        # BEFORE results are logged — the submission formatter reads the
+        # store trees right after this returns
+        vis.close()
 
     if config["vis"].get("verbose"):
         print(tm.report())

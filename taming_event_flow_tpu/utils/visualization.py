@@ -12,6 +12,8 @@ arrays (the torch reference renders NCHW tensors).
 from __future__ import annotations
 
 import os
+import queue
+import threading
 from typing import Dict, Optional, Sequence
 
 import numpy as np
@@ -181,6 +183,14 @@ class Visualization:
     ``data`` slots accept NHWC numpy/JAX arrays (batch 1). ``store`` writes
     per-sequence ``<key>/%09d.png`` trees plus ``timestamps.txt`` — the
     layout the DSEC submission formatter consumes.
+
+    Store-only protocols (``vis.enabled: false, store: true`` — the DSEC
+    submission configuration) render + PNG-encode on a single writeback
+    thread so the (host-CPU-heavy) ``cv2.imwrite`` path overlaps the next
+    window's device dispatches instead of serializing with them. Ordering
+    and output are identical to the synchronous path (one worker, FIFO
+    queue); ``close()`` flushes and re-raises any worker error.
+    ``vis.async_store: false`` opts out.
     """
 
     def __init__(self, config: Dict, eval_id: int = -1,
@@ -198,13 +208,78 @@ class Visualization:
             os.makedirs(self.store_dir, exist_ok=True)
         self.data: Dict[str, Optional[np.ndarray]] = {}
         self.reset_image_ph()
+        # writeback thread: only on the store-only path (a live display
+        # must render on the main thread)
+        self._async = bool(
+            self.store_rendered and not self.show_rendered
+            and config["vis"].get("async_store", True)
+        )
+        self._queue: Optional[queue.Queue] = None
+        self._worker: Optional[threading.Thread] = None
+        self._worker_err: Optional[BaseException] = None
 
     def reset_image_ph(self):
         for key in KEYS:
             self.data[key] = None
 
+    # ------------------------------------------------------------ writeback
+
+    def _ensure_worker(self):
+        if self._worker is None:
+            # depth-bounded: a slow disk throttles the producer instead of
+            # accumulating a window of un-encoded frames per step
+            self._queue = queue.Queue(maxsize=8)
+            self._worker = threading.Thread(
+                target=self._drain, name="vis-writeback", daemon=True
+            )
+            self._worker.start()
+
+    def _drain(self):
+        while True:
+            item = self._queue.get()
+            if item is None:
+                return
+            data, inputs, sequence, ts, show = item
+            try:
+                self.render(inputs, show, data=data)
+                self.store(sequence, ts, show, data=data)
+            except BaseException as e:  # surfaced by close()/next step()
+                self._worker_err = e
+                return
+
+    def close(self):
+        """Flush the writeback queue and surface any worker error. Idempotent;
+        a no-op for synchronous/displaying configurations."""
+        if self._worker is not None:
+            self._queue.put(None)
+            self._worker.join()
+            self._worker = None
+        if self.store_file is not None:
+            self.store_file.close()
+            self.store_file = None
+        if self._worker_err is not None:
+            err, self._worker_err = self._worker_err, None
+            raise err
+
     def step(self, inputs: Dict, sequence: Optional[str] = None,
              ts: Optional[float] = None, show: Optional[Sequence[str]] = None):
+        if self._worker_err is not None:
+            self.close()  # re-raises
+        if self._async and sequence is not None:
+            # snapshot by reference: the consumer assigns fresh arrays into
+            # self.data each step (never mutates in place), so a shallow
+            # dict copy pins this step's panels. Device arrays convert to
+            # numpy on the worker — the D2H sync happens off the hot loop.
+            self._ensure_worker()
+            snap_inputs = {
+                k: inputs.get(k)
+                for k in ("event_cnt", "net_input", "gtflow", "gtdepth")
+                if inputs.get(k) is not None
+            }
+            self._queue.put((dict(self.data), snap_inputs, sequence, ts,
+                             show))
+            self.reset_image_ph()
+            return
         self.render(inputs, show)
         if self.show_rendered:
             self.update(show)
@@ -212,28 +287,30 @@ class Visualization:
             self.store(sequence, ts, show)
         self.reset_image_ph()
 
-    def render(self, inputs: Dict, show=None):
-        if self.data.get("events") is None:
+    def render(self, inputs: Dict, show=None, data: Optional[Dict] = None):
+        if data is None:
+            data = self.data
+        if data.get("events") is None:
             src = inputs.get("event_cnt", inputs.get("net_input"))
-            self.data["events"] = None if src is None else np.asarray(src)
+            data["events"] = None if src is None else np.asarray(src)
         if "gtflow" in inputs and inputs["gtflow"] is not None:
-            self.data["flow_gt"] = np.asarray(inputs["gtflow"])
+            data["flow_gt"] = np.asarray(inputs["gtflow"])
         if "gtdepth" in inputs and inputs["gtdepth"] is not None:
-            self.data["depth_gt"] = np.asarray(inputs["gtdepth"])
+            data["depth_gt"] = np.asarray(inputs["gtdepth"])
 
         # AEE error panel
-        if self.data.get("flow_bw") is not None and self.data.get("flow_gt") is not None:
-            fb = np.asarray(self.data["flow_bw"])[0]
-            fg = np.asarray(self.data["flow_gt"])[0]
+        if data.get("flow_bw") is not None and data.get("flow_gt") is not None:
+            fb = np.asarray(data["flow_bw"])[0]
+            fg = np.asarray(data["flow_gt"])[0]
             err = np.sqrt(((fb - fg) ** 2).sum(-1))
             invalid = (fg[..., 0] == 0) & (fg[..., 1] == 0)
             err[invalid] = 0.0
-            self.data["error_flow"] = err
+            data["error_flow"] = err
 
-        for key in list(self.data.keys()):
+        for key in list(data.keys()):
             if show is not None and key not in show:
                 continue
-            val = self.data[key]
+            val = data[key]
             if val is None:
                 continue
             val = np.asarray(val)
@@ -241,13 +318,13 @@ class Visualization:
                 val = val[0]
             group = key.split("_")[0]
             if group in ("events", "iwe"):
-                self.data[key] = events_to_image(val[..., :2])
+                data[key] = events_to_image(val[..., :2])
             elif key == "flow_bw":
-                self.data[key] = encode_dsec_flow(val[..., :2])
+                data[key] = encode_dsec_flow(val[..., :2])
             elif group == "flow":
-                self.data[key] = flow_to_image(val[..., :2])
+                data[key] = flow_to_image(val[..., :2])
             elif key == "error_flow":
-                self.data[key] = error_to_image(val)
+                data[key] = error_to_image(val)
 
     def update(self, show=None):  # pragma: no cover - needs a display
         if cv2 is None:
@@ -261,7 +338,10 @@ class Visualization:
                 cv2.imshow(key, self.data[key])
         cv2.waitKey(1)
 
-    def store(self, sequence: str, ts=None, show=None):
+    def store(self, sequence: str, ts=None, show=None,
+              data: Optional[Dict] = None):
+        if data is None:
+            data = self.data
         path_to = os.path.join(self.store_dir, sequence)
         if not os.path.exists(path_to):
             os.makedirs(path_to, exist_ok=True)
@@ -274,16 +354,16 @@ class Visualization:
             )
             self.img_idx = 0
 
-        for key in list(self.data.keys()):
+        for key in list(data.keys()):
             if show is not None and key not in show:
                 continue
-            if self.data.get(key) is None:
+            if data.get(key) is None:
                 continue
             kdir = os.path.join(path_to, key)
             os.makedirs(kdir, exist_ok=True)
             fname = os.path.join(kdir, "%09d.png" % self.img_idx)
             if cv2 is not None:
-                cv2.imwrite(fname, self.data[key])
+                cv2.imwrite(fname, data[key])
 
         if ts is not None and self.store_file is not None:
             self.store_file.write(f"{ts}\n")

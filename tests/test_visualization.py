@@ -87,3 +87,72 @@ def test_u16_flow_wire_matches_png_lattice(rng):
     big = np.array([[[300.0, -300.0]]], np.float32)
     clamped = np.asarray(flow_to_u16(jnp.asarray(big)))
     assert clamped[0, 0, 0] == 65535 and clamped[0, 0, 1] == 0
+
+
+def _vis_config(store: bool, async_store=None):
+    vis = {"enabled": False, "store": store, "bars": False}
+    if async_store is not None:
+        vis["async_store"] = async_store
+    return {"vis": vis}
+
+
+def test_async_store_matches_sync(tmp_path, rng):
+    """The writeback-thread store path produces byte-identical PNG trees and
+    timestamps to the synchronous path (same single-worker FIFO ordering)."""
+    import os
+
+    from taming_event_flow_tpu.utils.visualization import Visualization
+
+    def run(async_store, root):
+        vis = Visualization(_vis_config(True, async_store), eval_id=0,
+                            path_results=str(root))
+        r = np.random.default_rng(3)
+        for i in range(6):
+            seq = "seq_a" if i < 4 else "seq_b"
+            batch = {
+                "net_input": r.integers(0, 4, (1, 8, 10, 2)).astype(
+                    np.float32),
+                "gtflow": r.normal(size=(1, 8, 10, 2)).astype(np.float32),
+            }
+            vis.data["flow_bw"] = r.normal(size=(1, 8, 10, 2)).astype(
+                np.float32) * 5
+            vis.data["flow"] = r.normal(size=(1, 8, 10, 2)).astype(
+                np.float32)
+            vis.step(batch, sequence=seq, ts=0.1 * i,
+                     show=["flow_bw", "events", "flow"])
+        vis.close()
+        return os.path.join(str(root), "results", "eval_0")
+
+    sync_dir = run(False, tmp_path / "sync")
+    async_dir = run(True, tmp_path / "async")
+
+    import pathlib
+
+    sync_files = sorted(
+        p.relative_to(sync_dir) for p in pathlib.Path(sync_dir).rglob("*")
+        if p.is_file()
+    )
+    async_files = sorted(
+        p.relative_to(async_dir) for p in pathlib.Path(async_dir).rglob("*")
+        if p.is_file()
+    )
+    assert sync_files == async_files and len(sync_files) > 0
+    for rel in sync_files:
+        a = (pathlib.Path(sync_dir) / rel).read_bytes()
+        b = (pathlib.Path(async_dir) / rel).read_bytes()
+        assert a == b, rel
+
+
+def test_async_store_worker_error_surfaces(tmp_path):
+    """An exception on the writeback thread re-raises on close()."""
+    import pytest
+
+    from taming_event_flow_tpu.utils.visualization import Visualization
+
+    vis = Visualization(_vis_config(True), eval_id=0,
+                        path_results=str(tmp_path))
+    vis.data["flow_bw"] = "not an array"  # render() will throw in the worker
+    vis.step({}, sequence="s", ts=0.0, show=["flow_bw"])
+    with pytest.raises(Exception):
+        vis.close()
+    vis.close()  # idempotent after the error is consumed
