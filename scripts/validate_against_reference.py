@@ -1,0 +1,329 @@
+"""One-command external validation: real data + a reference checkpoint,
+both pipelines, side-by-side metrics (and byte-wise submission-PNG diff).
+
+The repo's parity story rests on synthetic H5s (the image ships no datasets
+or pretrained weights — reference ``README.md:131`` points at external
+downloads). This script is the ready-to-run path for anyone WITH the real
+artifacts::
+
+    python scripts/validate_against_reference.py \
+        --data /path/to/dsec_h5_dir --checkpoint /path/to/model.pth \
+        --mode gtflow --window 1 --passes 10 --resolution 480 640 \
+        --store --workdir /tmp/val
+
+It drives
+  1. the reference evaluator's loop semantics (reference
+     ``eval_flow.py:70-193``) with the reference's OWN modules
+     (``dataloader/h5.py``, ``loss/flow_val.py``, ``models/model.py``,
+     torch CPU, deps shimmed as in ``tests/oracle.py``), and
+  2. OUR real CLI (``eval_flow.test``) on the same data, with the same
+     weights ported via ``tracking.load_reference_torch_checkpoint``,
+then prints FWL / RSAT / AEE per sequence from both sides with deltas, and
+— with ``--store`` — byte-diffs the DSEC 16-bit flow PNGs both pipelines
+encode (same ``uint16(flow*128 + 2^15)`` lattice; reference
+``visualization.py:146-149``).
+
+Smoke-tested against the oracle shims on synthetic data by
+``tests/test_validate_script.py``; the entry point is identical for real
+DSEC/MVSEC h5 trees (they share the converter schema the synthetic writer
+pins field-for-field — see ``tests/test_schema.py``).
+"""
+
+import argparse
+import os
+import sys
+
+import numpy as np
+import yaml
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+REFERENCE = os.environ.get("REFERENCE_DIR", "/root/reference")
+
+
+def _shim_reference():
+    if not os.path.isdir(REFERENCE):
+        raise SystemExit(
+            f"reference checkout not found at {REFERENCE} "
+            "(set REFERENCE_DIR)"
+        )
+    if REFERENCE not in sys.path:
+        sys.path.insert(0, REFERENCE)
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    from oracle import shim_reference_deps
+
+    shim_reference_deps()
+
+
+def reference_eval(args, model_cfg, store_dir=None):
+    """Reference pipeline at the protocol; returns metrics and (optionally)
+    stores window-boundary flow_bw PNGs."""
+    import torch
+
+    from dataloader.h5 import H5Loader as RefLoader
+    from loss.flow_val import Iterative as RefIterative
+    from models.model import RecEVFlowNet as RefModel
+
+    from taming_event_flow_tpu.utils.visualization import encode_dsec_flow
+
+    try:
+        import cv2
+    except Exception:
+        cv2 = None
+
+    res = tuple(args.resolution)
+    min_size = model_cfg.pop("min_size", 16)
+    config = {
+        "data": {"path": args.data, "mode": args.mode, "window": args.window,
+                 "passes_loss": args.passes, "voxel": None, "cache": False},
+        "model": dict(model_cfg),
+        "loss": {"round_ts": False, "flow_scaling": args.flow_scaling},
+        "loader": {"resolution": list(res), "batch_size": 1, "augment": [],
+                   "augment_prob": [], "max_num_grad_events": None,
+                   "device": torch.device("cpu")},
+        "metrics": {"warping": "Iterative",
+                    "name": ["FWL", "RSAT", "AEE"]},
+        "vis": {"bars": False, "mask_output": False},
+    }
+
+    model = RefModel(dict(config["model"]), num_bins=2,
+                     min_size=min_size).eval()
+    obj = torch.load(args.checkpoint, map_location="cpu",
+                     weights_only=False)
+    state_dict = obj if isinstance(obj, dict) else obj.state_dict()
+    model.load_state_dict(state_dict)
+
+    data = RefLoader(config, shuffle=True)
+    dataloader = torch.utils.data.DataLoader(
+        data, drop_last=True, batch_size=1,
+        collate_fn=data.custom_collate, num_workers=0,
+    )
+    criteria = RefIterative(config, torch.device("cpu"))
+
+    val_results = {}
+    img_idx = {}
+    end_test = False
+    with torch.no_grad():
+        while not end_test:
+            for inputs in dataloader:
+                sequence = (
+                    data.files[data.batch_idx[0] % len(data.files)]
+                    .split("/")[-1].split(".")[0]
+                )
+                if data.new_seq:
+                    data.new_seq = False
+                    model.reset_states()
+                    criteria.reset()
+                if data.ts_jump_reset:
+                    data.ts_jump_reset = False
+                    model.reset_states()
+                if data.seq_num >= len(data.files):
+                    end_test = True
+                    break
+
+                x = model(inputs["net_input"])
+                flow = [f * args.flow_scaling for f in x["flow"]]
+                criteria.update(
+                    flow, inputs["event_list"],
+                    inputs["event_list_pol_mask"], inputs["event_mask"],
+                )
+
+                val_results.setdefault(
+                    sequence,
+                    {m: {"metric": 0.0, "it": 0}
+                     for m in ("FWL", "RSAT", "AEE")},
+                )
+                img_idx.setdefault(sequence, 0)
+                img_idx[sequence] += 1
+                if criteria.num_passes == args.passes:
+                    flow_bw = (
+                        criteria.window_flow(mode="backward", mask=False)
+                        * args.passes
+                    )
+                    if "gtflow" in inputs:
+                        aee = criteria.compute_aee(flow_bw,
+                                                   inputs["gtflow"])
+                        val_results[sequence]["AEE"]["metric"] += float(aee)
+                        val_results[sequence]["AEE"]["it"] += 1
+                    rsat = criteria.rsat()
+                    val_results[sequence]["RSAT"]["metric"] += float(
+                        rsat[0])
+                    val_results[sequence]["RSAT"]["it"] += 1
+                    fwl = criteria.fwl()
+                    val_results[sequence]["FWL"]["metric"] += float(fwl)
+                    val_results[sequence]["FWL"]["it"] += 1
+                    if store_dir is not None and cv2 is not None:
+                        # same store layout as our Visualization.store:
+                        # <seq>/flow_bw/%09d.png at the boundary pass index
+                        fb = np.moveaxis(
+                            flow_bw[0].cpu().numpy(), 0, -1)  # [H,W,2] x,y
+                        kdir = os.path.join(store_dir, sequence, "flow_bw")
+                        os.makedirs(kdir, exist_ok=True)
+                        cv2.imwrite(
+                            os.path.join(
+                                kdir, "%09d.png" % (img_idx[sequence] - 1)
+                            ),
+                            encode_dsec_flow(fb),
+                        )
+                    criteria.reset()
+
+    out = {}
+    for metric in ("FWL", "RSAT", "AEE"):
+        out[metric] = {
+            seq: r[metric]["metric"] / r[metric]["it"]
+            for seq, r in val_results.items() if r[metric]["it"] > 0
+        }
+    return out
+
+
+def our_eval(args, model_cfg, workdir):
+    """Our real CLI surface on the same data/weights."""
+    import argparse as _ap
+
+    from taming_event_flow_tpu import tracking
+    from taming_event_flow_tpu.configs import YAMLParser
+    from taming_event_flow_tpu.tracking import (
+        load_reference_torch_checkpoint,
+        save_checkpoint,
+    )
+    import eval_flow
+
+    params = load_reference_torch_checkpoint(args.checkpoint)
+    tracking.set_tracking_uri(workdir)
+    tracking.set_experiment("validate_against_reference")
+    run = tracking.start_run()
+    runid = run.info.run_id
+    train_cfg = {
+        "data": {"mode": args.mode, "window": args.window,
+                 "passes_loss": args.passes, "voxel": None, "cache": False},
+        "model": dict(model_cfg),
+        "loss": {"warping": "Iterative", "round_ts": False,
+                 "flow_scaling": args.flow_scaling},
+    }
+    tracking.log_params({k: str(v) for k, v in train_cfg.items()})
+    tracking.end_run()
+    save_checkpoint(runid, params)
+
+    eval_cfg = {
+        "data": {"path": args.data, "mode": args.mode,
+                 "window": args.window, "passes_loss": args.passes,
+                 "cache": False},
+        "loader": {"resolution": list(args.resolution), "augment": [],
+                   "max_num_grad_events": None,
+                   "n_events_pad": args.n_events_pad, "seed": 11},
+        "metrics": {"warping": "Iterative",
+                    "name": ["FWL", "RSAT", "AEE"]},
+        "vis": {"enabled": False, "store": bool(args.store), "bars": False,
+                "mask_output": False, "dynamic": False,
+                "show": ["flow_bw"]},
+    }
+    cfg_path = os.path.join(workdir, "eval_validate.yml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(eval_cfg, f)
+    eargs = _ap.Namespace(
+        runid=runid, config=cfg_path, path_mlflow=workdir,
+        path_results=os.path.join(workdir, "results_inference") + "/",
+    )
+    results = eval_flow.test(eargs, YAMLParser(cfg_path))
+    store = os.path.join(workdir, "results_inference", runid, "results",
+                         "eval_0")
+    return results, store
+
+
+def diff_pngs(ref_dir, our_dir):
+    """Byte-wise diff of both stores' flow_bw PNG trees."""
+    try:
+        import cv2
+    except Exception:
+        print("PNG diff skipped: cv2 unavailable")
+        return True
+    identical = differing = 0
+    max_delta = 0
+    for seq in sorted(os.listdir(ref_dir)):
+        rdir = os.path.join(ref_dir, seq, "flow_bw")
+        odir = os.path.join(our_dir, seq, "flow_bw")
+        if not os.path.isdir(rdir):
+            continue
+        if not os.path.isdir(odir):
+            print(f"  {seq}: MISSING on our side")
+            differing += 1
+            continue
+        rset, oset = sorted(os.listdir(rdir)), sorted(os.listdir(odir))
+        if rset != oset:
+            print(f"  {seq}: frame sets differ ({len(rset)} vs {len(oset)})")
+        for name in sorted(set(rset) & set(oset)):
+            a = cv2.imread(os.path.join(rdir, name), cv2.IMREAD_UNCHANGED)
+            b = cv2.imread(os.path.join(odir, name), cv2.IMREAD_UNCHANGED)
+            if np.array_equal(a, b):
+                identical += 1
+            else:
+                differing += 1
+                d = int(np.max(np.abs(a.astype(np.int32)
+                                      - b.astype(np.int32))))
+                max_delta = max(max_delta, d)
+    print(f"PNG diff: {identical} identical, {differing} differing "
+          f"(max lattice delta {max_delta} = {max_delta / 128.0:.4f} px)")
+    return differing == 0
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data", required=True, help="real DSEC/MVSEC h5 dir")
+    ap.add_argument("--checkpoint", required=True,
+                    help="reference model.pth (pickled module or "
+                         "state_dict)")
+    ap.add_argument("--mode", default="gtflow")
+    ap.add_argument("--window", type=float, default=1.0)
+    ap.add_argument("--passes", type=int, default=10)
+    ap.add_argument("--resolution", type=int, nargs=2, default=[480, 640])
+    ap.add_argument("--flow_scaling", type=float, default=32.0)
+    ap.add_argument("--n_events_pad", type=int, default=None,
+                    help="static event bucket for our side (compile-once)")
+    ap.add_argument("--model-config", default=None,
+                    help="YAML whose model: section describes the "
+                         "checkpoint's architecture (default: flagship "
+                         "RecEVFlowNet)")
+    ap.add_argument("--store", action="store_true",
+                    help="store + byte-diff the DSEC flow PNGs")
+    ap.add_argument("--workdir", default="/tmp/validate_reference")
+    args = ap.parse_args(argv)
+
+    model_cfg = {"name": "RecEVFlowNet"}
+    if args.model_config:
+        with open(args.model_config) as f:
+            model_cfg = yaml.safe_load(f).get("model", model_cfg)
+
+    os.makedirs(args.workdir, exist_ok=True)
+    _shim_reference()
+
+    ref_store = None
+    if args.store:
+        ref_store = os.path.join(args.workdir, "reference_store")
+        os.makedirs(ref_store, exist_ok=True)
+
+    print("== reference pipeline (torch CPU) ==")
+    ref = reference_eval(args, dict(model_cfg), store_dir=ref_store)
+    print("== our pipeline (eval_flow CLI) ==")
+    ours, our_store = our_eval(args, dict(model_cfg), args.workdir)
+
+    print(f"{'metric':8s} {'sequence':30s} {'reference':>12s} "
+          f"{'ours':>12s} {'delta':>10s}")
+    worst = 0.0
+    for metric in ("FWL", "RSAT", "AEE"):
+        for seq in sorted(ref.get(metric, {})):
+            rv = ref[metric][seq]
+            ov = float(ours.get(metric, {}).get(seq, float("nan")))
+            delta = abs(ov - rv) / (abs(rv) + 1e-12)
+            worst = max(worst, delta)
+            print(f"{metric:8s} {seq:30s} {rv:12.6f} {ov:12.6f} "
+                  f"{delta:9.2%}")
+    ok = worst < 5e-3
+    print(f"worst relative metric delta: {worst:.2%} "
+          f"({'OK' if ok else 'DIVERGENT'})")
+    if args.store:
+        ok = diff_pngs(ref_store, our_store) and ok
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
