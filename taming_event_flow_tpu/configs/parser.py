@@ -156,14 +156,20 @@ class YAMLParser:
         """Apply process-level runtime settings (currently the persistent
         XLA compilation cache). Must run before the first compile; safe to
         call more than once."""
-        cache_dir = (config.get("runtime") or {}).get("compilation_cache")
+        runtime = config.get("runtime") or {}
+        cache_dir = runtime.get("compilation_cache")
         if cache_dir:
             import jax
 
             jax.config.update("jax_compilation_cache_dir", str(cache_dir))
-            # cache every program worth caching, not only >1 s compiles
+            # cache every program worth caching, not only >1 s compiles.
+            # ``persistent_cache_min_compile_secs: 0`` persists EVERYTHING —
+            # what scripts/precompile.py uses so a primed cache is complete
+            # (borderline ~0.1 s compiles otherwise flip between written/
+            # not-written across runs under host load).
             jax.config.update(
-                "jax_persistent_cache_min_compile_time_secs", 0.1
+                "jax_persistent_cache_min_compile_time_secs",
+                float(runtime.get("persistent_cache_min_compile_secs", 0.1)),
             )
 
     @staticmethod

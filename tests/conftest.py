@@ -29,6 +29,12 @@ import pytest  # noqa: E402
 REFERENCE = "/root/reference"
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: multi-minute test (subprocess CLIs, big compiles)"
+    )
+
+
 def has_reference():
     return os.path.isdir(REFERENCE)
 

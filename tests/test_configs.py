@@ -77,15 +77,15 @@ def test_apply_runtime_compilation_cache(tmp_path):
     old_dir = jax.config.jax_compilation_cache_dir
     old_min = jax.config.jax_persistent_cache_min_compile_time_secs
     try:
+        # a trivial CPU compile can finish under the default 0.1 s write
+        # threshold — the persist-everything knob (what precompile.py uses)
+        # makes the write-path assertion deterministic
         YAMLParser.apply_runtime(
-            {"runtime": {"compilation_cache": str(cache)}}
+            {"runtime": {"compilation_cache": str(cache),
+                         "persistent_cache_min_compile_secs": 0.0}}
         )
         assert jax.config.jax_compilation_cache_dir == str(cache)
-        # a trivial CPU compile can finish under apply_runtime's 0.1 s
-        # write threshold — drop it to 0 so the write-path assertion is
-        # deterministic (what's under test is the dir wiring, not the
-        # threshold policy)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        assert jax.config.jax_persistent_cache_min_compile_time_secs == 0.0
         f = jax.jit(lambda x: x * 2 + 1)
         f(np.ones((64, 64))).block_until_ready()
         assert cache.is_dir() and len(list(cache.iterdir())) >= 1
