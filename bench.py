@@ -50,7 +50,14 @@ def _synthetic_events(rng, shape, res):
     return jnp.asarray(ev), jnp.asarray(pol, jnp.float32)
 
 
-def bench_eval_protocol(res, passes, n_events, iters=30, full_vis=True):
+# TPU v5e (1 chip) hardware ceilings, the denominators for ``mfu`` /
+# ``bandwidth_util``: 197 TFLOP/s bf16 MXU peak, 819 GB/s HBM bandwidth.
+V5E_PEAK_BF16_FLOPS = 197e12
+V5E_HBM_BYTES_PER_S = 819e9
+
+
+def bench_eval_protocol(res, passes, n_events, iters=30, full_vis=True,
+                        inference_dtype=None):
     """Model forward + Iterative validation update at an eval protocol's
     shapes, one jitted program per GT WINDOW (``make_eval_window_step`` —
     the eval CLI's recorded-protocol path: all P pass bodies unrolled in a
@@ -62,7 +69,11 @@ def bench_eval_protocol(res, passes, n_events, iters=30, full_vis=True):
     ``full_vis=False`` is the DSEC submission configuration
     (``configs/eval_dsec.yml`` shows only ``flow_bw``; the fw-propagated
     maps and the per-pass backward re-warp feed nothing on that path — see
-    ``ValConfig.track_fw_prop`` / ``track_bw``)."""
+    ``ValConfig.track_fw_prop`` / ``track_bw``).
+
+    ``inference_dtype`` mirrors ``metrics.inference_dtype`` — the DSEC
+    submission config defaults to bfloat16 (model forward only; warping and
+    metrics stay f32 — bounded-delta study in README)."""
     import jax
     import jax.numpy as jnp
 
@@ -79,7 +90,8 @@ def bench_eval_protocol(res, passes, n_events, iters=30, full_vis=True):
         ValConfig(res=res, passes=passes, track_fw_prop=full_vis,
                   track_bw=full_vis),
         1, n_events)
-    step = make_eval_window_step(model, val, reset_first=True)
+    step = make_eval_window_step(model, val, reset_first=True,
+                                 inference_dtype=inference_dtype)
     init = jax.jit(val.init)
     vstate = init()
 
@@ -108,12 +120,15 @@ def bench_eval_protocol(res, passes, n_events, iters=30, full_vis=True):
             per_pass,
             (time.perf_counter() - t0) / (n_windows * passes),
         )
-    return {
+    out = {
         "pass_ms": round(per_pass * 1e3, 2),
         "gt_frames_per_s": round(1.0 / (passes * per_pass), 2),
         "model_passes_per_s": round(1.0 / per_pass, 1),
         "events_per_pass": n_events,
     }
+    if inference_dtype is not None:
+        out["inference_dtype"] = str(np.dtype(inference_dtype).name)
+    return out
 
 
 def bench_train(batch, res=(128, 128), passes=10, n_events=8192, iters=10):
@@ -144,6 +159,16 @@ def bench_train(batch, res=(128, 128), passes=10, n_events=8192, iters=10):
         "grad_mask": jnp.ones((passes, batch, n_events, 1), jnp.float32),
     }
 
+    # compiled-program cost analysis: XLA's own FLOP / bytes-accessed
+    # accounting for THIS executable — the numerators for mfu /
+    # bandwidth_util (lower+compile hits the same executable the timing
+    # loop runs; no extra compile)
+    ca = step.lower(state, window).compile().cost_analysis()
+    if isinstance(ca, list):
+        ca = ca[0]
+    flops = float(ca.get("flops", 0.0))
+    bytes_accessed = float(ca.get("bytes accessed", 0.0))
+
     # warmup / compile
     state, loss = step(state, window)
     _sync(loss)
@@ -157,7 +182,7 @@ def bench_train(batch, res=(128, 128), passes=10, n_events=8192, iters=10):
     # events warped per optimizer step: P windows x N events, each warped
     # through ~P flow maps (fw+bw), across 4 flow scales
     warps_per_step = passes * n_events * batch * passes * 4
-    return dt, warps_per_step / dt / 1e6
+    return dt, warps_per_step / dt / 1e6, flops, bytes_accessed
 
 
 def pallas_correctness_check():
@@ -251,14 +276,24 @@ def main():
     # same process measures ~1.5-2 ms/pass slower at DSEC scale (allocator
     # state from the donated train buffers), which is not what the eval
     # CLIs experience
-    # DSEC-Flow benchmark inference = the submission path (flow_bw only)
+    # DSEC-Flow benchmark inference = the submission path (flow_bw only,
+    # bf16 model forward per configs/eval_dsec.yml)
+    import jax.numpy as jnp
+
     dsec = bench_eval_protocol((480, 640), passes=10, n_events=32768,
-                               full_vis=False)
+                               full_vis=False, inference_dtype=jnp.bfloat16)
     mvsec = bench_eval_protocol((260, 346), passes=1, n_events=16384)
 
     # headline: the reference's training config (batch 8 per README.md:147)
-    dt8, mev8 = bench_train(batch=8)
-    dt1, mev1 = bench_train(batch=1)
+    dt8, mev8, flops8, bytes8 = bench_train(batch=8)
+    dt1, mev1, _, _ = bench_train(batch=1)
+
+    # hardware-ceiling utilization of the headline step: achieved FLOP/s
+    # over the v5e bf16 MXU peak (mfu; the one-hot warp matmuls count as
+    # FLOPs here — XLA's accounting of the executable as built) and
+    # achieved HBM traffic over the chip's 819 GB/s (bandwidth_util)
+    mfu = flops8 / dt8 / V5E_PEAK_BF16_FLOPS
+    bandwidth_util = bytes8 / dt8 / V5E_HBM_BYTES_PER_S
 
     print(json.dumps({
         "metric": "iterative_cm_train_warp_throughput",
@@ -268,6 +303,12 @@ def main():
         "detail": {
             "pallas_correctness": pallas_ok,
             "train_step_ms": round(dt8 * 1e3, 2),
+            "mfu": round(mfu, 4),
+            "bandwidth_util": round(bandwidth_util, 4),
+            "achieved_tflops": round(flops8 / dt8 / 1e12, 2),
+            "achieved_gbps": round(bytes8 / dt8 / 1e9, 1),
+            "hw_peaks": {"bf16_tflops": V5E_PEAK_BF16_FLOPS / 1e12,
+                         "hbm_gbps": V5E_HBM_BYTES_PER_S / 1e9},
             "res": [128, 128],
             "passes": 10,
             "batch": 8,
