@@ -4,6 +4,8 @@ All device arrays are passed as explicit jit ARGUMENTS (closed-over arrays
 become HLO constants and distort timings badly — see bench_ablate history).
 """
 
+import os
+import sys
 import time
 from functools import partial
 
@@ -12,14 +14,23 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _sync(out):
+    # block_until_ready returns at DISPATCH on the tunneled-TPU stack; a
+    # one-element host readback is the true completion barrier (CLAUDE.md)
+    leaves = [l for l in jax.tree.leaves(out) if hasattr(l, "dtype")]
+    np.asarray(jax.device_get(leaves[0].ravel()[:1]))
+
 
 def timeit(fn, *args, iters=10):
     out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     return (time.perf_counter() - t0) / iters
 
 
@@ -45,7 +56,22 @@ def main():
         lambda p, c, xx: model.apply({"params": p}, xx, c, train=False)
     )
     t = timeit(fwd, params, carry, x)
-    print(f"model fwd 480x640: {t*1e3:.2f} ms")
+    print(f"model fwd 480x640 f32: {t*1e3:.2f} ms")
+
+    # the DSEC submission path (configs/eval_dsec.yml): bf16 model forward
+    bf16 = partial(jax.tree.map, lambda a: a.astype(jnp.bfloat16)
+                   if a.dtype == jnp.float32 else a)
+    fwd_bf16 = jax.jit(
+        lambda p, c, xx: model.apply({"params": p}, xx, c, train=False)
+    )
+    t = timeit(fwd_bf16, bf16(params), bf16(carry), bf16(x))
+    print(f"model fwd 480x640 bf16: {t*1e3:.2f} ms")
+
+    # headless/submission validation config: no fw-prop maps, no bw re-warp
+    val_sub = IterativeValidation(
+        ValConfig(res=res, passes=passes, track_fw_prop=False,
+                  track_bw=False), 1, n)
+    vstate_sub = val_sub.init()
 
     val = IterativeValidation(ValConfig(res=res, passes=passes), 1, n)
     vstate = val.init()
@@ -64,6 +90,10 @@ def main():
     upd = jax.jit(val.update)
     t = timeit(upd, vstate, flow, ev, pol, emask)
     print(f"full val update: {t*1e3:.2f} ms")
+
+    upd_sub = jax.jit(val_sub.update)
+    t = timeit(upd_sub, vstate_sub, flow, ev, pol, emask)
+    print(f"submission val update (no fw-prop/bw): {t*1e3:.2f} ms")
 
     # pieces
     f_prop1 = jax.jit(lambda m: forward_prop_flow_once(m, res))

@@ -39,6 +39,8 @@ def main(argv=None):
     ap.add_argument("--workdir", default="/tmp/bench_eval_cli")
     ap.add_argument("--no-packed-wire", action="store_true",
                     help="A/B: ship plain wire formats")
+    ap.add_argument("--sync-store", action="store_true",
+                    help="A/B: disable the PNG writeback thread")
     args = ap.parse_args(argv)
 
     res, passes, ev_per_pass, n_frames, n_pad = PROTOCOLS[args.protocol]
@@ -107,7 +109,7 @@ def main(argv=None):
                     "packed_wire": not args.no_packed_wire},
         "vis": {"enabled": False, "store": args.protocol == "dsec",
                 "bars": False, "mask_output": False, "dynamic": False,
-                "verbose": True,
+                "verbose": True, "async_store": not args.sync_store,
                 "show": ["flow_bw"] if args.protocol == "dsec" else None},
     })
     n_passes = n_frames * passes
