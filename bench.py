@@ -25,6 +25,33 @@ import time
 import numpy as np
 
 
+def _code_state_digest() -> str:
+    """12-hex digest of the repo's code state (HEAD + working-tree diff).
+
+    Used to key the persistent XLA cache dir so two code versions can
+    never share serialized executables (see main()). Falls back to a
+    content hash of the package sources when git is unavailable."""
+    import hashlib
+    import pathlib
+    import subprocess
+
+    root = pathlib.Path(__file__).resolve().parent
+    h = hashlib.sha256()
+    try:
+        head = subprocess.run(
+            ["git", "rev-parse", "HEAD"], cwd=root, check=True,
+            capture_output=True, text=True).stdout.strip()
+        diff = subprocess.run(
+            ["git", "diff", "HEAD", "--", "*.py"], cwd=root, check=True,
+            capture_output=True).stdout
+        h.update(head.encode())
+        h.update(diff)
+    except Exception:
+        for p in sorted(root.rglob("taming_event_flow_tpu/**/*.py")):
+            h.update(p.read_bytes())
+    return h.hexdigest()[:12]
+
+
 def _sync(out):
     """True device-completion sync: host readback of one element.
 
@@ -303,7 +330,15 @@ def main():
     # runs — including the next round's driver invocation on the same
     # machine — deserialize instead. Timed regions are unaffected (every
     # bench warms up before its timing loop).
-    jax.config.update("jax_compilation_cache_dir", "/tmp/bench_xla_cache")
+    #
+    # The dir is keyed on the CODE STATE (HEAD + working-tree diff): a
+    # shared dir was observed (round 4) to deserialize a STALE executable
+    # for a freshly-traced program after a model change — metadata citing
+    # deleted source files — silently timing the wrong program. A fresh
+    # dir per code state makes that class of corruption impossible at the
+    # cost of one cold compile after each code change.
+    jax.config.update("jax_compilation_cache_dir",
+                      f"/tmp/bench_xla_cache_{_code_state_digest()}")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     # gate: every Pallas kernel must still lower + run on the real chip

@@ -139,9 +139,18 @@ class MultiResUNetRecurrent(nn.Module):
                 dtype=self.dtype,
                 name=f"pred_{i}",
             )(x, train=train)
-            predictions.append(pred.astype(jnp.float32))
+            # keep the prediction in compute dtype INSIDE the loop: casting
+            # it to f32 here promotes the next level's whole concat (pred ++
+            # decoder activations, 66/130/258 channels) to f32, so the
+            # following bilinear upsample + pads run at DOUBLE width in
+            # bf16 inference mode — measured as the dominant share of the
+            # DSEC window's "data formatting" HLO time — and the very next
+            # conv casts its operands back to bf16 anyway, so the f32
+            # excursion adds no precision where it matters. f32 mode
+            # (dtype=None) is bit-identical either way.
+            predictions.append(pred)
 
-        return predictions, tuple(new_state)
+        return [p.astype(jnp.float32) for p in predictions], tuple(new_state)
 
     @nn.nowrap
     def init_state(self, batch: int, height: int, width: int,
@@ -209,6 +218,7 @@ class MultiResUNet(nn.Module):
                 outs[-1],
                 activation=self.ff_act,
                 norm=self.norm,
+                dtype=self.dtype,
                 name=f"resblock_{j}",
             )(x, train=train)
 
@@ -223,6 +233,7 @@ class MultiResUNet(nn.Module):
                 kernel_size=self.kernel_size,
                 activation=self.ff_act,
                 norm=self.norm,
+                dtype=self.dtype,
                 name=f"decoder_{i}",
             )(x, train=train)
             pred = ConvLayer(
@@ -231,8 +242,11 @@ class MultiResUNet(nn.Module):
                 activation=self.final_activation,
                 norm=self.norm,
                 w_scale=self.final_w_scale,
+                dtype=self.dtype,
                 name=f"pred_{i}",
             )(x, train=train)
+            # compute-dtype inside the loop; f32 only at the boundary (see
+            # the recurrent variant above)
             predictions.append(pred)
 
-        return predictions
+        return [p.astype(jnp.float32) for p in predictions]

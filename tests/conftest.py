@@ -15,9 +15,15 @@ import os
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
+if "collective_call_terminate_timeout" not in _flags:
+    # 8 virtual devices timeslice this host's one core: at reference-scale
+    # dryrun shapes a device can reach an all-reduce minutes after its
+    # peers, and XLA-CPU's default rendezvous termination window (40 s)
+    # kills the healthy run (see __graft_entry__._virtual_cpu_flags).
+    _flags += (" --xla_cpu_collective_call_warn_stuck_timeout_seconds=300"
+               " --xla_cpu_collective_call_terminate_timeout_seconds=1800")
+os.environ["XLA_FLAGS"] = _flags
 
 import jax  # noqa: E402
 
