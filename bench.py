@@ -26,29 +26,23 @@ import numpy as np
 
 
 def _code_state_digest() -> str:
-    """12-hex digest of the repo's code state (HEAD + working-tree diff).
+    """12-hex digest of the COMPUTE-RELEVANT code state.
 
     Used to key the persistent XLA cache dir so two code versions can
-    never share serialized executables (see main()). Falls back to a
-    content hash of the package sources when git is unavailable."""
+    never share serialized executables (see main()). Content-hashes the
+    package sources plus this file — the inputs that determine every
+    traced program — rather than git HEAD, so doc/test/script commits
+    don't force a cold recompile while any model/op/bench change does."""
     import hashlib
     import pathlib
-    import subprocess
 
     root = pathlib.Path(__file__).resolve().parent
     h = hashlib.sha256()
-    try:
-        head = subprocess.run(
-            ["git", "rev-parse", "HEAD"], cwd=root, check=True,
-            capture_output=True, text=True).stdout.strip()
-        diff = subprocess.run(
-            ["git", "diff", "HEAD", "--", "*.py"], cwd=root, check=True,
-            capture_output=True).stdout
-        h.update(head.encode())
-        h.update(diff)
-    except Exception:
-        for p in sorted(root.rglob("taming_event_flow_tpu/**/*.py")):
-            h.update(p.read_bytes())
+    files = sorted(root.glob("taming_event_flow_tpu/**/*.py"))
+    files.append(root / "bench.py")
+    for p in files:
+        h.update(str(p.relative_to(root)).encode())
+        h.update(p.read_bytes())
     return h.hexdigest()[:12]
 
 
