@@ -239,19 +239,44 @@ class Visualization:
             item = self._queue.get()
             if item is None:
                 return
+            if self._worker_err is not None:
+                # keep consuming after a failure so a blocked producer
+                # always unblocks; the error re-raises in step()/close()
+                continue
             data, inputs, sequence, ts, show = item
             try:
                 self.render(inputs, show, data=data)
                 self.store(sequence, ts, show, data=data)
             except BaseException as e:  # surfaced by close()/next step()
                 self._worker_err = e
+
+    def _put(self, item):
+        """Bounded put that cannot deadlock: bails out (and re-raises) the
+        moment the worker records an error, instead of blocking forever on
+        a full queue whose consumer has stopped making progress."""
+        while True:
+            if self._worker_err is not None:
+                self.close()  # re-raises
+            try:
+                self._queue.put(item, timeout=0.5)
                 return
+            except queue.Full:
+                if self._worker is not None and not self._worker.is_alive():
+                    # dead without recording an error (e.g. interpreter
+                    # teardown): don't spin forever
+                    raise RuntimeError("vis-writeback worker died")
 
     def close(self):
         """Flush the writeback queue and surface any worker error. Idempotent;
         a no-op for synchronous/displaying configurations."""
         if self._worker is not None:
-            self._queue.put(None)
+            while True:
+                try:
+                    self._queue.put(None, timeout=0.5)
+                    break
+                except queue.Full:
+                    if not self._worker.is_alive():
+                        break
             self._worker.join()
             self._worker = None
         if self.store_file is not None:
@@ -271,13 +296,29 @@ class Visualization:
             # dict copy pins this step's panels. Device arrays convert to
             # numpy on the worker — the D2H sync happens off the hot loop.
             self._ensure_worker()
+            # snapshot only what render() will consume for the requested
+            # panels: a show=['flow_bw'] store (the DSEC submission config)
+            # must not D2H the [1,H,W,2] net_input every pass nor pin 8
+            # steps of unused device arrays alive in the queue
+            want = None if show is None else set(show)
+            if want is not None and "error_flow" in want:
+                want |= {"flow_bw", "flow_gt"}
+            snap_keys = []
+            if want is None or "events" in want:
+                snap_keys += ["event_cnt", "net_input"]
+            if want is None or want & {"flow_gt", "error_flow"}:
+                snap_keys.append("gtflow")
+            if want is None or "depth_gt" in want:
+                snap_keys.append("gtdepth")
             snap_inputs = {
-                k: inputs.get(k)
-                for k in ("event_cnt", "net_input", "gtflow", "gtdepth")
+                k: inputs.get(k) for k in snap_keys
                 if inputs.get(k) is not None
             }
-            self._queue.put((dict(self.data), snap_inputs, sequence, ts,
-                             show))
+            snap_data = {
+                k: v for k, v in self.data.items()
+                if want is None or k in want
+            }
+            self._put((snap_data, snap_inputs, sequence, ts, show))
             self.reset_image_ph()
             return
         self.render(inputs, show)
@@ -290,17 +331,25 @@ class Visualization:
     def render(self, inputs: Dict, show=None, data: Optional[Dict] = None):
         if data is None:
             data = self.data
-        if data.get("events") is None:
+        want = None if show is None else set(show)
+        if want is not None and "error_flow" in want:
+            want |= {"flow_gt"}
+        if data.get("events") is None and (want is None or "events" in want):
             src = inputs.get("event_cnt", inputs.get("net_input"))
             data["events"] = None if src is None else np.asarray(src)
-        if "gtflow" in inputs and inputs["gtflow"] is not None:
+        if ((want is None or "flow_gt" in want)
+                and inputs.get("gtflow") is not None):
             data["flow_gt"] = np.asarray(inputs["gtflow"])
-        if "gtdepth" in inputs and inputs["gtdepth"] is not None:
+        if ((want is None or "depth_gt" in want)
+                and inputs.get("gtdepth") is not None):
             data["depth_gt"] = np.asarray(inputs["gtdepth"])
 
         # AEE error panel
         if data.get("flow_bw") is not None and data.get("flow_gt") is not None:
-            fb = np.asarray(data["flow_bw"])[0]
+            fb = np.asarray(data["flow_bw"])
+            if fb.dtype == np.uint16:  # packed wire (see below)
+                fb = u16_to_flow(fb)
+            fb = fb[0]
             fg = np.asarray(data["flow_gt"])[0]
             err = np.sqrt(((fb - fg) ** 2).sum(-1))
             invalid = (fg[..., 0] == 0) & (fg[..., 1] == 0)
@@ -320,6 +369,13 @@ class Visualization:
             if group in ("events", "iwe"):
                 data[key] = events_to_image(val[..., :2])
             elif key == "flow_bw":
+                if val.dtype == np.uint16:
+                    # packed D2H wire (flow_to_u16): the eval loop may hand
+                    # this slot the DEVICE u16 array so the D2H + decode
+                    # happen here on the writeback thread, off the
+                    # dispatch-critical path; encode below re-quantizes to
+                    # these exact values (idempotent on the lattice)
+                    val = u16_to_flow(val)
                 data[key] = encode_dsec_flow(val[..., :2])
             elif group == "flow":
                 data[key] = flow_to_image(val[..., :2])

@@ -156,3 +156,53 @@ def test_async_store_worker_error_surfaces(tmp_path):
     with pytest.raises(Exception):
         vis.close()
     vis.close()  # idempotent after the error is consumed
+
+
+def test_async_store_full_queue_after_worker_error_does_not_hang(tmp_path):
+    """Regression (round-5 ADVICE): with the bounded queue full and the
+    worker erroring, subsequent step()s and close() must unblock and
+    re-raise instead of deadlocking on a blocking put."""
+    import pytest
+
+    from taming_event_flow_tpu.utils.visualization import Visualization
+
+    vis = Visualization(_vis_config(True), eval_id=0,
+                        path_results=str(tmp_path))
+    # every queued item is poison: the worker records the first error and
+    # then drains the rest, so >8 (maxsize) steps would deadlock without
+    # the fix
+    with pytest.raises(Exception):
+        for _ in range(24):
+            vis.data["flow_bw"] = "not an array"
+            vis.step({}, sequence="s", ts=0.0, show=["flow_bw"])
+        vis.close()
+    vis.close()  # idempotent after the error is consumed
+
+
+def test_async_store_snapshot_filtered_by_show(tmp_path):
+    """A show=['flow_bw'] store (the DSEC submission config) must not
+    snapshot/convert net_input or unrelated panels (dead D2H + pinned
+    device arrays — round-5 ADVICE)."""
+    from taming_event_flow_tpu.utils.visualization import Visualization
+
+    class Explodes:
+        """Stands in for a device array whose conversion would be a D2H."""
+
+        def __array__(self, *a, **k):
+            raise AssertionError("dead D2H: converted an unshown input")
+
+    vis = Visualization(_vis_config(True), eval_id=0,
+                        path_results=str(tmp_path))
+    r = np.random.default_rng(0)
+    for i in range(3):
+        vis.data["flow_bw"] = r.normal(size=(1, 8, 10, 2)).astype(
+            np.float32)
+        vis.data["flow"] = Explodes()  # unshown slot: must not be rendered
+        vis.step({"net_input": Explodes(), "gtflow": Explodes()},
+                 sequence="s", ts=0.1 * i, show=["flow_bw"])
+    vis.close()
+    import os
+
+    stored = os.listdir(os.path.join(
+        str(tmp_path), "results", "eval_0", "s", "flow_bw"))
+    assert len(stored) == 3
