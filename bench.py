@@ -32,12 +32,19 @@ def _code_state_digest() -> str:
     never share serialized executables (see main()). Content-hashes the
     package sources plus this file — the inputs that determine every
     traced program — rather than git HEAD, so doc/test/script commits
-    don't force a cold recompile while any model/op/bench change does."""
+    don't force a cold recompile while any model/op/bench change does.
+    The jax/jaxlib versions are folded in too: a library upgrade changes
+    the compiler, and reusing the old dir would cross the same trust
+    boundary the round-4 stale-executable incident proved unreliable."""
     import hashlib
     import pathlib
 
+    import jax
+    import jaxlib
+
     root = pathlib.Path(__file__).resolve().parent
     h = hashlib.sha256()
+    h.update(f"jax={jax.__version__} jaxlib={jaxlib.__version__}".encode())
     files = sorted(root.glob("taming_event_flow_tpu/**/*.py"))
     files.append(root / "bench.py")
     for p in files:
@@ -316,7 +323,98 @@ def pallas_correctness_check():
         set_warp_backend("auto")
 
 
+def sharded_lowering_check():
+    """Compile + run the sharded programs ON THE CHIP with a 1-device mesh.
+
+    All ``shard_map``/GSPMD programs are numerics-validated on the virtual
+    8-CPU mesh (tests/, dryrun) — but CPU passing says nothing about the
+    TPU lowering (Mosaic has rejected programs interpret/CPU accepted —
+    CLAUDE.md), and Pallas kernels inside a shard_map partition are exactly
+    the risky class. A (data=1, event=1) mesh keeps the program structure
+    (shard_map, collectives, partitioned Pallas calls) while fitting one
+    chip. Returns "ok" or the failure string."""
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        from taming_event_flow_tpu.metrics import (
+            IterativeValidation,
+            ValConfig,
+        )
+        from taming_event_flow_tpu.models import RecEVFlowNet
+        from taming_event_flow_tpu.objectives import LossConfig
+        from taming_event_flow_tpu.parallel import (
+            make_event_mesh,
+            make_event_parallel_train_step,
+            shard_state_2d,
+            shard_window_2d,
+        )
+        from taming_event_flow_tpu.parallel.eval import (
+            make_eval_mesh,
+            make_sharded_reducers,
+            shard_eval_batch,
+            shard_val_state,
+        )
+        from taming_event_flow_tpu.training import build_optimizer
+        from taming_event_flow_tpu.training.step import init_train_state
+
+        rng = np.random.default_rng(0)
+
+        # 2-D-mesh shard_map train step (tiny shapes; structure == dryrun's)
+        res, passes, n_ev, batch = (32, 32), 2, 256, 1
+        model = RecEVFlowNet(num_bins=2, base_channels=8, num_encoders=2)
+        cfg = LossConfig(res=res, passes_loss=passes, scales_loss=1,
+                         iterative_mode="two")
+        opt = build_optimizer({"name": "Adam", "lr": 1e-5}, clip_grad=100.0)
+        state = init_train_state(model, opt, batch, res[0], res[1], 2)
+        ev, pol = _synthetic_events(rng, (passes, batch, n_ev), res)
+        window = {
+            "net_input": jnp.asarray(
+                rng.normal(size=(passes, batch, res[0], res[1], 2)),
+                jnp.float32),
+            "event_list": ev,
+            "pol_mask": pol,
+            "grad_mask": jnp.ones((passes, batch, n_ev, 1), jnp.float32),
+        }
+        mesh = make_event_mesh(1, 1)
+        step = make_event_parallel_train_step(model, opt, cfg, mesh,
+                                              "Iterative", flow_scaling=32.0)
+        st, loss = step(shard_state_2d(state, mesh),
+                        shard_window_2d(window, mesh))
+        if not np.isfinite(float(loss)):
+            return f"train step loss not finite: {float(loss)}"
+
+        # event-sharded eval update + shard_map reducers
+        vres, vpasses, n = (48, 64), 2, 128
+        val = IterativeValidation(ValConfig(res=vres, passes=vpasses), 1, n)
+        emesh = make_eval_mesh(1)
+        vstate = shard_val_state(val.init(), emesh)
+        update = jax.jit(val.update)
+        evv, polv = _synthetic_events(rng, (1, n), vres)
+        flow = jnp.asarray(
+            rng.normal(size=(1, *vres, 2)), jnp.float32) * 2.0
+        emask = jnp.ones((1, *vres, 1), jnp.float32)
+        for _ in range(vpasses):
+            ev_s, pol_s = shard_eval_batch(evv, polv, emesh)
+            vstate = update(vstate, flow, ev_s, pol_s, emask)
+        red = make_sharded_reducers(val, emesh, vstate)
+        fwl = float(red["fwl"](vstate))
+        rsat = float(np.asarray(red["rsat"](vstate))[0])
+        if not (np.isfinite(fwl) and np.isfinite(rsat)):
+            return f"eval reducers not finite: fwl={fwl} rsat={rsat}"
+        return "ok"
+    except Exception as e:  # lowering/compile failures must fail LOUDLY
+        return f"{type(e).__name__}: {e}"
+
+
+# Previous round's recorded headline (BENCH_r04.json): the regression guard
+# fails the bench (nonzero exit) on a silent >5% throughput drop.
+PREV_ROUND_MEVENTS = 117.74
+
+
 def main():
+    import sys
+
     import jax
 
     # persistent compilation cache: bench wall time is dominated by the
@@ -325,7 +423,8 @@ def main():
     # machine — deserialize instead. Timed regions are unaffected (every
     # bench warms up before its timing loop).
     #
-    # The dir is keyed on the CODE STATE (HEAD + working-tree diff): a
+    # The dir is keyed on the CODE STATE (a content hash of the package
+    # sources + bench.py + the jax/jaxlib versions — NOT git state): a
     # shared dir was observed (round 4) to deserialize a STALE executable
     # for a freshly-traced program after a model change — metadata citing
     # deleted source files — silently timing the wrong program. A fresh
@@ -335,8 +434,10 @@ def main():
                       f"/tmp/bench_xla_cache_{_code_state_digest()}")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    # gate: every Pallas kernel must still lower + run on the real chip
+    # gates: every Pallas kernel must still lower + run on the real chip,
+    # and the shard_map/GSPMD programs must lower for TPU (1-device mesh)
     pallas_ok = pallas_correctness_check()
+    sharded_ok = sharded_lowering_check()
 
     # eval protocols FIRST: running them after the train benches in the
     # same process measures ~1.5-2 ms/pass slower at DSEC scale (allocator
@@ -369,6 +470,20 @@ def main():
     mfu = twin["flops"] / dt8 / V5E_PEAK_BF16_FLOPS
     bandwidth_util = bytes8 / dt8 / V5E_HBM_BYTES_PER_S
 
+    # regression guard (VERDICT r4 item 7): a silent perf regression or a
+    # broken kernel/sharding lowering must not ride a green rc 0
+    guard = {
+        "prev_round_mevents": PREV_ROUND_MEVENTS,
+        "min_allowed": round(0.95 * PREV_ROUND_MEVENTS, 2),
+        "throughput_ok": mev8 >= 0.95 * PREV_ROUND_MEVENTS,
+        "pallas_ok": pallas_ok == "ok",
+        "sharded_lowering_ok": sharded_ok == "ok",
+    }
+    guard["ok"] = all(
+        guard[k] for k in ("throughput_ok", "pallas_ok",
+                           "sharded_lowering_ok")
+    )
+
     print(json.dumps({
         "metric": "iterative_cm_train_warp_throughput",
         "value": round(mev8, 2),
@@ -376,6 +491,8 @@ def main():
         "vs_baseline": round(mev8 / 100.0, 3),
         "detail": {
             "pallas_correctness": pallas_ok,
+            "sharded_lowering": sharded_ok,
+            "regression_guard": guard,
             "train_step_ms": round(dt8 * 1e3, 2),
             "mfu": round(mfu, 4),
             "bandwidth_util": round(bandwidth_util, 4),
@@ -404,6 +521,8 @@ def main():
             "mvsec_260x346_eval": mvsec,
         },
     }))
+    if not guard["ok"]:
+        sys.exit(1)
 
 
 if __name__ == "__main__":
