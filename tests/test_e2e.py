@@ -534,3 +534,39 @@ def test_eval_packed_wire_ab_rectified(workspace, tmp_path):
         for seq in r_off[metric]:
             assert float(r_on[metric][seq]) == float(r_off[metric][seq]), (
                 metric, seq)
+
+
+def test_b16_throughput_preset_smokes(workspace):
+    """The shipped B=16 throughput preset (configs/train_flow_b16.yml,
+    VERDICT r4 item 8) parses through YAMLParser and trains end-to-end at
+    its batch size — shrunk to toy model/window sizes so 16 lanes fit a
+    CPU test, with loader.batch_size kept at the preset's 16."""
+    root, ds = workspace
+    os.chdir(root)
+    from taming_event_flow_tpu.configs import YAMLParser
+    import train_flow
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "configs", "train_flow_b16.yml")) as f:
+        cfg = yaml.safe_load(f)
+    assert cfg["loader"]["batch_size"] == 16
+    assert cfg["loader"]["n_events_pad"] == 8192
+    # shrink everything EXCEPT the batch size to test scale
+    cfg["data"].update({"path": ds, "window": 0.2, "passes_loss": 2})
+    cfg["model"].update({"base_channels": 8, "num_encoders": 2,
+                         "num_residual_blocks": 1, "min_size": 4})
+    cfg["loader"].update({"n_epochs": 1, "resolution": list(RES),
+                          "augment": [], "augment_prob": [],
+                          "n_events_pad": 512, "seed": 7,
+                          "max_num_grad_events": None})
+    cfg["loss"]["flow_scaling"] = 8
+    cfg["vis"]["verbose"] = False
+    cfg_path = write_cfg(root / "train_b16.yml", cfg)
+    args = argparse.Namespace(
+        config=cfg_path, path_mlflow=str(root), path_cache="", prev_runid=""
+    )
+    runid = train_flow.train(args, YAMLParser(cfg_path))
+    run_dir = os.path.join(str(root), "mlruns", "0", runid)
+    with open(os.path.join(run_dir, "metrics", "loss")) as f:
+        losses = [float(l.split()[1]) for l in f]
+    assert len(losses) >= 1 and np.all(np.isfinite(losses))

@@ -72,3 +72,24 @@ def test_validate_script_smoke(tmp_path):
         "--workdir", str(tmp_path / "val"),
     ])
     assert rc == 0
+
+
+@requires_reference
+def test_validate_script_synthetic_mode(tmp_path):
+    """`--synthetic` is self-contained: generates the DSEC-schema tree +
+    reference checkpoint itself, runs both pipelines, and passes only on a
+    ZERO byte-wise PNG diff (VERDICT r4 item 6)."""
+    mod = _load_script()
+    rc = mod.main(["--synthetic", "--workdir", str(tmp_path / "val")])
+    assert rc == 0
+    # the self-test wrote its own inputs
+    assert os.path.isfile(str(tmp_path / "val" / "model.pth"))
+    assert os.listdir(str(tmp_path / "val" / "synthetic_data"))
+
+
+def test_validate_script_requires_inputs_without_synthetic(tmp_path):
+    import pytest
+
+    mod = _load_script()
+    with pytest.raises(SystemExit):
+        mod.main(["--workdir", str(tmp_path / "val")])
