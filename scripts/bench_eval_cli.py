@@ -10,7 +10,8 @@ Protocols:
 
 Trains the full-size model briefly at small resolution first (the model is
 fully convolutional, so the checkpoint evaluates at any resolution); reuse
-with --runid to skip. Uses /tmp/bench_xla_cache for one-time compiles.
+with --runid to skip. One-time compiles land in a persistent XLA cache
+keyed on the code state (never shared across code versions — CLAUDE.md).
 
     python scripts/bench_eval_cli.py [dsec|mvsec] [--runid ID]
 """
@@ -23,6 +24,7 @@ import time
 import yaml
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 PROTOCOLS = {
     # res, passes_loss, events/pass, n GT frames, n_events_pad
@@ -41,6 +43,9 @@ def main(argv=None):
                     help="A/B: ship plain wire formats")
     ap.add_argument("--sync-store", action="store_true",
                     help="A/B: disable the PNG writeback thread")
+    ap.add_argument("--sync-metrics", action="store_true",
+                    help="A/B: boundary metric readbacks on the dispatch "
+                         "loop (disable the metrics-reader thread)")
     args = ap.parse_args(argv)
 
     res, passes, ev_per_pass, n_frames, n_pad = PROTOCOLS[args.protocol]
@@ -48,10 +53,17 @@ def main(argv=None):
     os.makedirs(root, exist_ok=True)
     os.chdir(root)
 
+    from bench_util import code_state_cache_dir
+
     from taming_event_flow_tpu.configs import YAMLParser
     from taming_event_flow_tpu.data.synthetic import write_synthetic_h5
     import eval_flow
     import train_flow
+
+    # never share a persistent cache dir across code states (CLAUDE.md)
+    cache_dir = code_state_cache_dir("/tmp/bench_xla_cache",
+                                     os.path.abspath(__file__))
+    print(f"xla cache: {cache_dir}")
 
     def cfg_path(name, d):
         p = os.path.join(root, name)
@@ -80,7 +92,7 @@ def main(argv=None):
                        "resolution": [64, 64], "augment": [],
                        "augment_prob": [], "max_num_grad_events": None,
                        "seed": 11},
-            "runtime": {"compilation_cache": "/tmp/bench_xla_cache"},
+            "runtime": {"compilation_cache": cache_dir},
             "vis": {"verbose": False, "enabled": False, "store": False},
         })
         runid = train_flow.train(
@@ -105,8 +117,9 @@ def main(argv=None):
                    "max_num_grad_events": None, "n_events_pad": n_pad,
                    "seed": 11},
         "metrics": {"warping": "Iterative", "name": ["FWL", "RSAT", "AEE"]},
-        "runtime": {"compilation_cache": "/tmp/bench_xla_cache",
-                    "packed_wire": not args.no_packed_wire},
+        "runtime": {"compilation_cache": cache_dir,
+                    "packed_wire": not args.no_packed_wire,
+                    "async_metrics": not args.sync_metrics},
         "vis": {"enabled": False, "store": args.protocol == "dsec",
                 "bars": False, "mask_output": False, "dynamic": False,
                 "verbose": True, "async_store": not args.sync_store,

@@ -8,10 +8,36 @@ wait for the producing program — and, since the device executes its queue in
 order, for everything enqueued before it.
 """
 
+import hashlib
+import pathlib
 import time
 
 import jax
 import numpy as np
+
+
+def code_state_cache_dir(prefix: str, *extra_files: str) -> str:
+    """Persistent-XLA-cache dir keyed on the COMPUTE-RELEVANT code state.
+
+    Two code versions must never share serialized executables (CLAUDE.md;
+    the round-4 stale-executable incident: a shared dir served a stale
+    binary whose metadata cited deleted source files, silently timing the
+    wrong program). Content-hashes the package sources, the CLI entry
+    points, any ``extra_files`` the caller's programs depend on, and the
+    jax/jaxlib versions — same recipe as ``bench.py._code_state_digest``.
+    """
+    import jaxlib
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    h = hashlib.sha256()
+    h.update(f"jax={jax.__version__} jaxlib={jaxlib.__version__}".encode())
+    files = sorted(root.glob("taming_event_flow_tpu/**/*.py"))
+    files += [root / "train_flow.py", root / "eval_flow.py"]
+    files += [pathlib.Path(f).resolve() for f in extra_files]
+    for p in files:
+        h.update(str(p).encode())
+        h.update(p.read_bytes())
+    return f"{prefix}_{h.hexdigest()[:12]}"
 
 
 def sync(out):

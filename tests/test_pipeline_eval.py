@@ -230,3 +230,61 @@ def test_auto_shard_creates_event_mesh(pipe_factory):
                         auto_shard=True)
     assert pipe.eval_mesh is not None
     assert not pipe.use_extras  # extras are off on the sharded path
+
+
+# --------------------------------------------------------- MetricsConsumer
+
+
+def test_metrics_consumer_matches_sync_consumption():
+    """The reader thread's accumulated results are identical to folding
+    the same boundary dicts synchronously (FIFO, same arithmetic)."""
+    from taming_event_flow_tpu.pipeline import MetricsConsumer
+    from taming_event_flow_tpu.tracking.loggers import (
+        initialize_quant_results,
+    )
+
+    names = ["FWL", "RSAT", "AEE"]
+    rng = np.random.default_rng(7)
+    windows = [
+        ({"aee": np.float32(rng.uniform(0.1, 3)),
+          "rsat": np.float32(rng.uniform(0.5, 1.5)),
+          "fwl": np.float32(rng.uniform(0.8, 1.4))},
+         f"seq{i % 2}")
+        for i in range(12)
+    ]
+
+    sync_results = {}
+    for mets, seq in windows:
+        sync_results = initialize_quant_results(sync_results, seq, names)
+        consume_mets(mets, sync_results, seq, names)
+
+    consumer = MetricsConsumer(names, depth=2)
+    for mets, seq in windows:
+        consumer.put(dict(mets), seq)
+    async_results = consumer.close()
+
+    assert set(async_results) == set(sync_results)
+    for seq in sync_results:
+        for m in names:
+            assert async_results[seq][m]["it"] == sync_results[seq][m]["it"]
+            np.testing.assert_allclose(async_results[seq][m]["metric"],
+                                       sync_results[seq][m]["metric"])
+
+
+def test_metrics_consumer_reraises_worker_error():
+    """A reader-thread failure surfaces at close() (or an early put) —
+    never a silent hang or dropped error."""
+    from taming_event_flow_tpu.pipeline import MetricsConsumer
+
+    consumer = MetricsConsumer(["FWL"], depth=2)
+    # a non-numeric leaf makes consume_mets raise inside the thread
+    consumer.put({"fwl": "not-a-number"}, "seq0")
+    with pytest.raises(Exception):
+        consumer.close()
+
+
+def test_metrics_consumer_close_idempotent_and_empty():
+    from taming_event_flow_tpu.pipeline import MetricsConsumer
+
+    consumer = MetricsConsumer(["FWL"])
+    assert consumer.close() == {}
