@@ -4,7 +4,8 @@ whole pipeline — loader, staging, H2D wire, dispatch, metric readbacks —
 not just the device step).
 
 Protocols:
-    dsec   480x640, gtflow window 1 frame, passes_loss 10, 32k events/pass
+    dsec   480x640, gtflow window 0.1 (10 passes per GT frame, the
+           reference protocol), passes_loss 10, 32k events/pass
     mvsec  260x346, gtflow window 1 frame, passes_loss 1 (metrics every
            pass), 16k events/pass
 
@@ -27,9 +28,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 PROTOCOLS = {
-    # res, passes_loss, events/pass, n GT frames, n_events_pad
-    "dsec": ((480, 640), 10, 32768, 12, 32768),
-    "mvsec": ((260, 346), 1, 16384, 60, 16384),
+    # res, passes_loss, gtflow window, events/pass, n GT frames, n_events_pad
+    # window follows the reference protocol: DSEC = 0.1 GT frame per pass
+    # (10 passes per frame, reference configs/eval_dsec.yml:4), MVSEC = a
+    # full frame per pass (passes_loss 1, reference configs/eval_mvsec.yml)
+    "dsec": ((480, 640), 10, 0.1, 32768, 12, 32768),
+    "mvsec": ((260, 346), 1, 1, 16384, 60, 16384),
 }
 
 
@@ -46,9 +50,13 @@ def main(argv=None):
     ap.add_argument("--sync-metrics", action="store_true",
                     help="A/B: boundary metric readbacks on the dispatch "
                          "loop (disable the metrics-reader thread)")
+    ap.add_argument("--probe", action="store_true",
+                    help="decompose the window dispatch stall "
+                         "(runtime.probe_wire drains)")
     args = ap.parse_args(argv)
 
-    res, passes, ev_per_pass, n_frames, n_pad = PROTOCOLS[args.protocol]
+    res, passes, window, ev_per_pass, n_frames, n_pad = (
+        PROTOCOLS[args.protocol])
     root = os.path.abspath(args.workdir)
     os.makedirs(root, exist_ok=True)
     os.chdir(root)
@@ -111,7 +119,7 @@ def main(argv=None):
         )
 
     ecfg = cfg_path(f"eval_{args.protocol}.yml", {
-        "data": {"path": ds, "mode": "gtflow", "window": 1,
+        "data": {"path": ds, "mode": "gtflow", "window": window,
                  "passes_loss": passes, "cache": False},
         "loader": {"resolution": list(res), "augment": [],
                    "max_num_grad_events": None, "n_events_pad": n_pad,
@@ -119,13 +127,16 @@ def main(argv=None):
         "metrics": {"warping": "Iterative", "name": ["FWL", "RSAT", "AEE"]},
         "runtime": {"compilation_cache": cache_dir,
                     "packed_wire": not args.no_packed_wire,
-                    "async_metrics": not args.sync_metrics},
+                    "async_metrics": not args.sync_metrics,
+                    "probe_wire": args.probe},
         "vis": {"enabled": False, "store": args.protocol == "dsec",
                 "bars": False, "mask_output": False, "dynamic": False,
                 "verbose": True, "async_store": not args.sync_store,
                 "show": ["flow_bw"] if args.protocol == "dsec" else None},
     })
-    n_passes = n_frames * passes
+    # the loader streams (n_frames - 1) GT-frame intervals of 1/window
+    # passes each (the last frame bounds the final interval)
+    n_passes = int(round((n_frames - 1) / window))
     t0 = time.perf_counter()
     eval_flow.test(
         argparse.Namespace(

@@ -174,6 +174,15 @@ def consume_mets(host_mets: Dict, val_results: Dict, sequence: str,
     return flow_bw
 
 
+def _drain_one(tree) -> None:
+    """Block until the first device leaf of ``tree`` is computed (one
+    1-element readback; ``block_until_ready`` returns at dispatch on the
+    tunneled-TPU stack — CLAUDE.md)."""
+    leaves = [l for l in jax.tree.leaves(tree) if hasattr(l, "dtype")]
+    if leaves:
+        np.asarray(jax.device_get(leaves[0].ravel()[:1]))
+
+
 class EvalPipeline:
     """Owns the jitted eval programs and the loop's mutable device state.
 
@@ -278,6 +287,11 @@ class EvalPipeline:
         self.packed_wire = bool(
             (config.get("runtime") or {}).get("packed_wire", True)
         )
+        # bench-only wire probe: adds two 1-element drains before each
+        # window dispatch to attribute the dispatch stall (see run_window)
+        self.probe_wire = bool(
+            (config.get("runtime") or {}).get("probe_wire", False)
+        )
 
         # jitted state reset: eager init() is ~15 separate device
         # dispatches (one per buffer) and runs at every window boundary.
@@ -291,7 +305,7 @@ class EvalPipeline:
         self._reducers = self._make_reducers()
 
         # mutable loop state
-        self.carry = model.init_state(1, self.res[0], self.res[1])
+        self.reset_carry()
         self.vstate = self.fresh_state()
         self.passes_done = 0  # host mirror of vstate.pass_idx (no syncs)
         self.vstate_stale = False  # last window's state awaits its reset
@@ -391,7 +405,16 @@ class EvalPipeline:
         return s
 
     def reset_carry(self):
-        self.carry = self.model.init_state(1, self.res[0], self.res[1])
+        carry = self.model.init_state(1, self.res[0], self.res[1])
+        if self.inference_dtype is not None:
+            # the programs return their carry in the compute dtype; an
+            # f32-initialized carry would compile a SECOND full variant of
+            # every step/window program just for the first pass after a
+            # reset (measured: one extra ~100 s cold compile at DSEC
+            # scale). Zeros are exact in either dtype.
+            carry = jax.tree.map(
+                lambda t: t.astype(self.inference_dtype), carry)
+        self.carry = carry
 
     def start_sequence(self):
         """Sequence rollover: fresh carry + slot state, buffered passes of
@@ -574,6 +597,16 @@ class EvalPipeline:
                     [b["event_list_pol_mask"] for b in self.wbuf])
                 evs, pols = shard_eval_window(evs, pols, self.eval_mesh)
                 aux = 0.0  # extras are off on the sharded path
+        if self.probe_wire:
+            # wire probe (runtime.probe_wire): decompose the dispatch
+            # stall — is it the PREVIOUS window still executing, or this
+            # window's staged H2D still in flight? Each drain is a
+            # 1-element readback (one tunnel round trip, ~26 ms) that
+            # blocks until its producer completes; bench-only.
+            with tm("probe_prev_state_drain"):
+                _drain_one(self.vstate)
+            with tm("probe_staged_input_drain"):
+                _drain_one(evs)
         with tm("window_call"):
             if self.use_extras:
                 (self.vstate, self.carry, flow_fine,

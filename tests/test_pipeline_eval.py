@@ -288,3 +288,49 @@ def test_metrics_consumer_close_idempotent_and_empty():
 
     consumer = MetricsConsumer(["FWL"])
     assert consumer.close() == {}
+
+
+def test_bf16_carry_single_trace(pipe_factory):
+    """With ``inference_dtype: bfloat16`` the init carry is created in the
+    compute dtype, so the first window and every later window hit ONE
+    trace of the window program (an f32-initialized carry would compile a
+    second full variant just for the first window — measured ~100 s of
+    extra cold compile at DSEC scale)."""
+    import jax.numpy as jnp
+
+    cfg = _config(
+        vis={"store": True, "show": ["flow_bw"]},
+        metrics={"warping": "Iterative", "name": ["FWL", "RSAT", "AEE"],
+                 "inference_dtype": "bfloat16"},
+    )
+    pipe = pipe_factory(cfg)
+    assert pipe.windowed and pipe.use_extras
+    assert all(t.dtype == jnp.bfloat16
+               for t in __import__("jax").tree.leaves(pipe.carry))
+
+    rng = np.random.default_rng(0)
+    h, w = pipe.res
+    n = pipe.criteria.n_events
+
+    def bufs(seed):
+        r = np.random.default_rng(seed)
+        out = []
+        for _ in range(pipe.passes):
+            ts = np.sort(r.uniform(0, 1, (1, n, 1)), axis=1)
+            y = r.uniform(0, h - 1, (1, n, 1))
+            x = r.uniform(0, w - 1, (1, n, 1))
+            p = r.choice([-1.0, 1.0], (1, n, 1))
+            out.append({
+                "event_list": np.concatenate(
+                    [ts, y, x, p], -1).astype(np.float32),
+                "gtflow": r.normal(size=(1, h, w, 2)).astype(np.float32),
+            })
+        return out
+
+    for seed in (1, 2, 3):
+        staged = pipe.stage_window(bufs(seed))
+        pipe.vstate_stale = False
+        pipe.run_window(staged)
+    assert pipe._window_step._cache_size() == 1
+    assert all(t.dtype == jnp.bfloat16
+               for t in __import__("jax").tree.leaves(pipe.carry))
