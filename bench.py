@@ -85,7 +85,7 @@ V5E_HBM_BYTES_PER_S = 819e9
 
 
 def bench_eval_protocol(res, passes, n_events, iters=30, full_vis=True,
-                        inference_dtype=None):
+                        inference_dtype=None, with_metrics=False):
     """Model forward + Iterative validation update at an eval protocol's
     shapes, one jitted program per GT WINDOW (``make_eval_window_step`` —
     the eval CLI's recorded-protocol path: all P pass bodies unrolled in a
@@ -101,13 +101,21 @@ def bench_eval_protocol(res, passes, n_events, iters=30, full_vis=True,
 
     ``inference_dtype`` mirrors ``metrics.inference_dtype`` — the DSEC
     submission config defaults to bfloat16 (model forward only; warping and
-    metrics stay f32 — bounded-delta study in README)."""
+    metrics stay f32 — bounded-delta study in README).
+
+    ``with_metrics=True`` measures the protocol's FULL device window — the
+    window program with the in-program boundary metrics the eval CLI fuses
+    (accumulated flow_bw + DSEC u16 pack + AEE + fused RSAT/FWL,
+    ``pipeline.eval.EvalPipeline.window_metrics``) — the honest device cost
+    per GT window, not just the forward+update chain."""
     import jax
     import jax.numpy as jnp
 
     from taming_event_flow_tpu.models import RecEVFlowNet
-    from taming_event_flow_tpu.metrics import IterativeValidation, ValConfig
+    from taming_event_flow_tpu.metrics import (
+        IterativeValidation, ValConfig, compute_aee)
     from taming_event_flow_tpu.training import make_eval_window_step
+    from taming_event_flow_tpu.utils.visualization import flow_to_u16
 
     model = RecEVFlowNet(num_bins=2)
     carry = model.init_state(1, res[0], res[1])
@@ -118,8 +126,20 @@ def bench_eval_protocol(res, passes, n_events, iters=30, full_vis=True,
         ValConfig(res=res, passes=passes, track_fw_prop=full_vis,
                   track_bw=full_vis),
         1, n_events)
+
+    extras = None
+    if with_metrics:
+        def extras(vstate, gtflow):
+            rsat, fwl = val.rsat_fwl(vstate)
+            flow_bw = val.window_flow(
+                vstate, mode="backward", mask=False) * passes
+            return {"rsat": rsat[0], "fwl": fwl,
+                    "flow_bw": flow_to_u16(flow_bw),
+                    "aee": compute_aee(flow_bw, gtflow)}
+
     step = make_eval_window_step(model, val, reset_first=True,
-                                 inference_dtype=inference_dtype)
+                                 inference_dtype=inference_dtype,
+                                 extras=extras)
     init = jax.jit(val.init)
     vstate = init()
 
@@ -127,9 +147,20 @@ def bench_eval_protocol(res, passes, n_events, iters=30, full_vis=True,
     ev, pol = _synthetic_events(rng, (passes, 1, n_events), res)
     xs = jnp.zeros((passes, 1, res[0], res[1], 2), jnp.float32)
     emasks = jnp.ones((passes, 1, res[0], res[1], 1), jnp.float32)
+    gt = jnp.asarray(rng.normal(size=(1, res[0], res[1], 2)), jnp.float32)
+
+    def run(vstate, carry):
+        if with_metrics:
+            vstate, carry, _, mets = step(vstate, carry, params, xs, ev,
+                                          pol, emasks, gt)
+        else:
+            vstate, carry, _ = step(vstate, carry, params, xs, ev, pol,
+                                    emasks)
+            mets = None
+        return vstate, carry, mets
 
     # warmup / compile one full window
-    vstate, carry, _ = step(vstate, carry, params, xs, ev, pol, emasks)
+    vstate, carry, mets = run(vstate, carry)
     _sync(vstate.fw_loc)
 
     # best-of-3 timing loops: host dispatch cost still leaks into the
@@ -141,8 +172,9 @@ def bench_eval_protocol(res, passes, n_events, iters=30, full_vis=True,
         t0 = time.perf_counter()
         for _ in range(n_windows):
             # window boundary: the program resets the stale state itself
-            vstate, carry, _ = step(vstate, carry, params, xs, ev, pol,
-                                    emasks)
+            vstate, carry, mets = run(vstate, carry)
+        if mets is not None:
+            _sync(mets["aee"])
         _sync(vstate.fw_loc)
         per_pass = min(
             per_pass,
@@ -154,6 +186,9 @@ def bench_eval_protocol(res, passes, n_events, iters=30, full_vis=True,
         "model_passes_per_s": round(1.0 / per_pass, 1),
         "events_per_pass": n_events,
     }
+    if with_metrics:
+        out["window_ms"] = round(per_pass * passes * 1e3, 2)
+        out["in_program_metrics"] = ["AEE", "RSAT", "FWL", "flow_bw_u16"]
     if inference_dtype is not None:
         out["inference_dtype"] = str(np.dtype(inference_dtype).name)
     return out
@@ -449,6 +484,11 @@ def main():
 
     dsec = bench_eval_protocol((480, 640), passes=10, n_events=32768,
                                full_vis=False, inference_dtype=jnp.bfloat16)
+    # the submission protocol's FULL device window (in-program AEE/RSAT/FWL
+    # + u16-packed flow_bw — what the eval CLI actually dispatches)
+    dsec_proto = bench_eval_protocol(
+        (480, 640), passes=10, n_events=32768, full_vis=False,
+        inference_dtype=jnp.bfloat16, with_metrics=True)
     mvsec = bench_eval_protocol((260, 346), passes=1, n_events=16384)
 
     # headline: the reference's training config (batch 8 per README.md:147)
@@ -518,6 +558,7 @@ def main():
             },
             "device": str(jax.devices()[0]),
             "dsec_480x640_inference": dsec,
+            "dsec_480x640_protocol": dsec_proto,
             "mvsec_260x346_eval": mvsec,
         },
     }))

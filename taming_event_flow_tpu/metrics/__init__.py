@@ -4,6 +4,7 @@ from .validation import (
     LinearValidation,
     compute_fwl,
     compute_rsat,
+    compute_rsat_fwl,
     compute_aee,
     METRIC_REGISTRY,
 )
@@ -14,6 +15,7 @@ __all__ = [
     "LinearValidation",
     "compute_fwl",
     "compute_rsat",
+    "compute_rsat_fwl",
     "compute_aee",
     "METRIC_REGISTRY",
 ]

@@ -419,6 +419,25 @@ class IterativeValidation:
             event_axis=event_axis,
         )
 
+    def rsat_fwl(self, state: ValState, event_axis=None):
+        """Both window metrics from TWO shared splats
+        (:func:`compute_rsat_fwl`) — RSAT identical, FWL bitwise equal,
+        and the two 1-channel FWL splats of the separate path (each a
+        full window-event sweep) disappear."""
+        num_passes = jnp.maximum(state.pass_idx.astype(jnp.float32), 1.0)
+        return compute_rsat_fwl(
+            self._flat_events(state.fw_loc, state.fw_mask)[0],
+            self._flat_events(state.event_loc, state.pol_mask)[0],
+            self._flat_events(state.fw_loc, state.fw_mask)[1],
+            self._flat_events(state.event_loc, state.pol_mask)[1],
+            jnp.transpose(state.event_ts, (1, 0, 2, 3)).reshape(
+                state.event_ts.shape[1], -1, 1
+            ),
+            num_passes,
+            self.cfg.res,
+            event_axis=event_axis,
+        )
+
 
 class LinearValidation(IterativeValidation):
     """Linear validation scheme (reference ``loss/flow_val.py:317-416``).
@@ -521,6 +540,16 @@ class LinearValidation(IterativeValidation):
         return compute_fwl(fw, loc, pol, pol, self.cfg.res,
                            event_axis=event_axis)
 
+    def rsat_fwl(self, state: ValState, event_axis=None):
+        fw, loc, mask = self._fw_events(state)
+        ts = jnp.transpose(state.event_ts, (1, 0, 2, 3)).reshape(
+            state.event_ts.shape[1], -1, 1
+        )
+        num_passes = jnp.maximum(state.pass_idx.astype(jnp.float32), 1.0)
+        _, pol = self._flat_events(state.event_loc, state.pol_mask)
+        return compute_rsat_fwl(fw, loc, pol, pol, ts, num_passes,
+                                self.cfg.res, event_axis=event_axis)
+
 
 def _ts_image_sums(events, pol_mask, ts, res):
     """Per-polarity count + avg-ts images for RSAT (round_idx=True splat)."""
@@ -590,6 +619,58 @@ def compute_rsat(fw_events, zero_events, fw_pol, zero_pol, ts, num_passes,
         return s / jnp.sum(nonzero, axis=1)
 
     return ts_sum(fw_events, fw_pol) / ts_sum(zero_events, zero_pol)
+
+
+def compute_rsat_fwl(fw_events, zero_events, fw_pol, zero_pol, ts,
+                     num_passes, res, event_axis=None):
+    """RSAT and FWL together from TWO shared 4-channel splats.
+
+    The separate reducers sweep the window events four times (RSAT's two
+    4-channel count/ts splats + FWL's two 1-channel count splats); but
+    FWL's count image is exactly the sum of RSAT's per-polarity count
+    planes — splatting ``pos`` and ``neg`` separately and adding the
+    images is bitwise equal to splatting ``pos + neg``, because the
+    per-polarity masks are 0/1-valued and every accumulation is exact
+    small-integer f32 arithmetic. So both metrics come out of RSAT's
+    splats alone: identical RSAT, bitwise-identical FWL
+    (``tests/test_metrics.py`` pins both with assert_array_equal), half
+    the splat sweeps (the dominant extras cost at DSEC scale).
+
+    Caveat on "bitwise": it holds for this function against the separate
+    reducers on the same inputs. Embedded in a LARGER jitted program
+    (the eval window step), swapping reducers changes XLA's fusion
+    choices and hence the variance reduction order — observed FWL shifts
+    of ~3e-6 relative at the CLI level, far inside the pipeline-parity
+    tolerance (2e-3).
+
+    Returns ``(rsat [B], fwl scalar)`` — the same values as
+    :func:`compute_rsat` / :func:`compute_fwl` on the same inputs.
+    """
+
+    def images(events, pol):
+        pos, neg, pos_ts, neg_ts = _ts_image_sums(events, pol, ts, res)
+        if event_axis is not None:
+            pos, neg, pos_ts, neg_ts = jax.lax.psum(
+                (pos, neg, pos_ts, neg_ts), event_axis
+            )
+        return pos, neg, pos_ts, neg_ts
+
+    fw = images(fw_events, fw_pol)
+    zz = images(zero_events, zero_pol)
+
+    def rsat_term(pos, neg, pos_ts, neg_ts):
+        pos_ts = pos_ts / (pos + 1e-9) / num_passes
+        neg_ts = neg_ts / (neg + 1e-9) / num_passes
+        b = pos_ts.shape[0]
+        s = jnp.sum(pos_ts.reshape(b, -1) ** 2, axis=1) + jnp.sum(
+            neg_ts.reshape(b, -1) ** 2, axis=1
+        )
+        nonzero = ((pos + neg) > 0).reshape(b, -1)
+        return s / jnp.sum(nonzero, axis=1)
+
+    rsat = rsat_term(*fw) / rsat_term(*zz)
+    fwl = jnp.var(fw[0] + fw[1]) / jnp.var(zz[0] + zz[1])
+    return rsat, fwl
 
 
 def compute_aee(pred, gt, event_mask=None, res_aee=None,

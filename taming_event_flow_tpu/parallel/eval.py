@@ -123,6 +123,10 @@ def make_sharded_reducers(criteria, mesh: Mesh, template_state):
         "rsat": wrap(
             lambda s: criteria.rsat(s, event_axis=EVAL_EVENT_AXIS)
         ),
+        "rsat_fwl": wrap(
+            lambda s: criteria.rsat_fwl(s, event_axis=EVAL_EVENT_AXIS),
+            out_spec=(P(), P()),
+        ),
         "window_events": wrap(
             lambda s: criteria.window_events(
                 s, event_axis=EVAL_EVENT_AXIS

@@ -356,6 +356,7 @@ class EvalPipeline:
             d = {
                 "fwl": jax.jit(self.criteria.fwl),
                 "rsat": jax.jit(self.criteria.rsat),
+                "rsat_fwl": jax.jit(self.criteria.rsat_fwl),
                 "window_events": jax.jit(self.criteria.window_events),
                 "window_iwe_fw": jax.jit(
                     partial(self.criteria.window_iwe, mode="forward")
@@ -483,9 +484,16 @@ class EvalPipeline:
         """Window-boundary quantities computed INSIDE a jitted program
         (the ``extras`` hook of the step builders)."""
         out = {}
-        if "RSAT" in self.metric_names:
+        if "RSAT" in self.metric_names and "FWL" in self.metric_names:
+            # fused: both metrics from RSAT's two splats (RSAT identical,
+            # FWL bitwise equal — metrics.compute_rsat_fwl); drops the two
+            # 1-channel FWL window-event sweeps from the window program
+            rsat, fwl = self.criteria.rsat_fwl(vstate)
+            out["rsat"] = rsat[0]
+            out["fwl"] = fwl
+        elif "RSAT" in self.metric_names:
             out["rsat"] = self.criteria.rsat(vstate)[0]
-        if "FWL" in self.metric_names:
+        elif "FWL" in self.metric_names:
             out["fwl"] = self.criteria.fwl(vstate)
         if self.aee_in_program:
             flow_bw = (
@@ -735,12 +743,17 @@ class EvalPipeline:
                         flow_bw, jnp.asarray(batch["gtflow"]),
                         event_mask=mask_aee,
                     )
-                for metric in self.metric_names:
-                    if metric == "RSAT":
-                        dev_mets["rsat"] = self._reducers["rsat"](
-                            self.vstate)[0]
-                    elif metric == "FWL":
-                        dev_mets["fwl"] = self._reducers["fwl"](self.vstate)
+                if ("RSAT" in self.metric_names
+                        and "FWL" in self.metric_names):
+                    # one fused dispatch (see window_metrics)
+                    rsat, fwl = self._reducers["rsat_fwl"](self.vstate)
+                    dev_mets["rsat"] = rsat[0]
+                    dev_mets["fwl"] = fwl
+                elif "RSAT" in self.metric_names:
+                    dev_mets["rsat"] = self._reducers["rsat"](
+                        self.vstate)[0]
+                elif "FWL" in self.metric_names:
+                    dev_mets["fwl"] = self._reducers["fwl"](self.vstate)
 
         self.window_mets = None
         if self.windowed:

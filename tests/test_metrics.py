@@ -187,6 +187,29 @@ def test_validation_padding_invariance(rng):
     )
 
 
+@pytest.mark.parametrize("val_cls", [IterativeValidation, LinearValidation])
+def test_fused_rsat_fwl_matches_separate(rng, val_cls):
+    """``rsat_fwl`` (both metrics from RSAT's two shared splats) must equal
+    the separate reducers: RSAT identically (same splat path), FWL bitwise
+    (per-polarity count images are exact small-integer f32 sums, so adding
+    the planes equals splatting the summed values)."""
+    cfg = ValConfig(res=RES, passes=P)
+    val = val_cls(cfg, B, N)
+    state = val.init()
+    update = jax.jit(val.update)
+    for _ in range(P):
+        flow, ev, pol, emask = make_pass(rng)
+        state = update(state, jnp.asarray(flow), jnp.asarray(ev),
+                       jnp.asarray(pol), jnp.asarray(emask))
+    rsat_f, fwl_f = jax.jit(val.rsat_fwl)(state)
+    np.testing.assert_array_equal(
+        np.asarray(rsat_f), np.asarray(jax.jit(val.rsat)(state))
+    )
+    np.testing.assert_array_equal(
+        np.asarray(fwl_f), np.asarray(jax.jit(val.fwl)(state))
+    )
+
+
 def test_update_n_active_specialization_matches_masked(rng):
     """The statically-specialized update (n_active=k slot slice) must equal
     the single-program masked update bit-for-bit at every pass position,
