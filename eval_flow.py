@@ -105,6 +105,7 @@ def test(args, config_parser: YAMLParser):
         for batch, meta in tm.wrap(prefetcher, "wait_batch"):
             sequence = meta["sequence"]
             pipe.cur_ridx = meta.get("remap_idx")
+            pipe.cur_rect = meta.get("rect_map")
 
             if pipe.vis.bars:
                 if bar is None:

@@ -291,6 +291,27 @@ class H5Loader(BaseStreamLoader):
             for lane in self.lanes
         ])
 
+    def rectify_values(self) -> Optional[np.ndarray]:
+        """Current per-lane FORWARD rectification maps, stacked
+        ``[B, H, W, 2]`` f32 in the file's layout
+        ``map[y_raw, x_raw] = (x_rect, y_rect)`` — for the u32 event
+        wire's device-side coordinate lookup
+        (``ops/encodings.unpack_event_wire``), which then reads the same
+        f32 table the host's ``base.rectify_events`` does.
+
+        ``None`` when ANY lane lacks a map (mixed batches fall back to
+        the plain wire). Valid since the last lane rollover, like
+        :meth:`remap_indices`. Raw lookup only: coordinate-flip
+        augmentation transforms the looked-up values AFTER this table
+        (``base.augment_events``), so producers must not use it when
+        Horizontal/Vertical flips are active.
+        """
+        if any(lane.rectify_map is None for lane in self.lanes):
+            return None
+        return np.stack([
+            lane.rectify_map.astype(np.float32) for lane in self.lanes
+        ])
+
     # -------------------------------------------------------- event access
 
     def _num_events(self, lane):

@@ -116,6 +116,65 @@ def derive_count_input(event_list, res: Tuple[int, int],
     return cnt
 
 
+def pack_event_wire_np(ys, xs, ps):
+    """Host-side u32 packing of integer event coordinates + polarity.
+
+    Layout: ``y << 16 | x << 2 | pcode`` with ``pcode`` 1 for positive,
+    2 for negative, 0 for padding rows (``p == 0``). Exact for any
+    integer-valued ``y < 65536``, ``x < 16384`` — every supported sensor.
+    One u32 element replaces three wire elements (y, x f32 + p), and on
+    the tunneled-device stack upload cost is per-ELEMENT
+    (BASELINE.md wire study: f32 84 ns/el, the endpoint serializes on the
+    producer's core), so the event upload halves.
+
+    :param ys, xs: integer-valued arrays (any float/int dtype).
+    :param ps: polarity ±1 (0 for padding).
+    :return: uint32 array of ``ys.shape``.
+    """
+    import numpy as np
+
+    pcode = np.where(ps > 0, 1, 0) + np.where(ps < 0, 2, 0)
+    return (
+        (ys.astype(np.uint32) << 16)
+        | (xs.astype(np.uint32) << 2)
+        | pcode.astype(np.uint32)
+    )
+
+
+def unpack_event_wire(ts, yxp, rect=None):
+    """Device twin of :func:`pack_event_wire_np`: rebuild the
+    ``[..., N, 4]`` (ts, y, x, p) event list (+ raw integer coords).
+
+    :param ts: ``[..., N]`` f32 window-normalized timestamps.
+    :param yxp: ``[..., N]`` uint32 packed (y, x, pcode).
+    :param rect: optional ``[H, W, 2]`` f32 forward rectification map in
+        the FILE's layout — ``rect[y_raw, x_raw] = (x_rect, y_rect)``
+        (reference ``dataloader/base.py:173-188``; note x first). When
+        given, the event list carries the rectified fractional
+        coordinates — bitwise the host lookup's values, since the gather
+        reads the same f32 table.
+    :return: ``(event_list [..., N, 4], raw_yx [..., N, 2] f32)`` —
+        ``raw_yx`` is the (y, x) integer pair
+        (:func:`derive_count_input`'s ``raw_xy`` contract).
+    """
+    yi = (yxp >> 16).astype(jnp.int32)
+    xi = ((yxp >> 2) & 0x3FFF).astype(jnp.int32)
+    pcode = yxp & 3
+    p = (pcode == 1).astype(jnp.float32) - (pcode == 2).astype(jnp.float32)
+    y = yi.astype(jnp.float32)
+    x = xi.astype(jnp.float32)
+    raw_yx = jnp.stack([y, x], axis=-1)
+    if rect is not None:
+        w = rect.shape[1]
+        flat = (yi * w + xi).reshape(-1)
+        looked = rect.reshape(-1, 2)[flat].reshape(yxp.shape + (2,))
+        ly, lx = looked[..., 1], looked[..., 0]  # file layout is (x, y)
+    else:
+        ly, lx = y, x
+    ev = jnp.stack([ts, ly, lx, p], axis=-1)
+    return ev, raw_yx
+
+
 def events_to_channels(xs, ys, ps, sensor_size: Tuple[int, int], valid=None):
     """Two-channel per-polarity event-count image.
 

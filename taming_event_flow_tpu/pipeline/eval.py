@@ -292,6 +292,20 @@ class EvalPipeline:
         self.probe_wire = bool(
             (config.get("runtime") or {}).get("probe_wire", False)
         )
+        # u32 event wire (windowed count path): one u32 element carries
+        # (y, x, polarity) — halves the event upload's per-element cost
+        # (ops/encodings.pack_event_wire_np). Exactness gates: rectified
+        # sequences use the device-side forward-map lookup (not valid
+        # under coordinate flips — the host flips AFTER the lookup);
+        # unrectified coords must be integral (verified once on the
+        # first staged window; the loader's construction guarantees it,
+        # synthetic callers may not). runtime.u32_wire: false = A/B.
+        aug = set(config["loader"].get("augment") or [])
+        self.coord_flips = bool({"Horizontal", "Vertical"} & aug)
+        self.u32_wire = self.packed_wire and bool(
+            (config.get("runtime") or {}).get("u32_wire", True)
+        )
+        self._u32_ok = None  # first-window integrality probe result
 
         # jitted state reset: eager init() is ~15 separate device
         # dispatches (one per buffer) and runs at every window boundary.
@@ -312,6 +326,7 @@ class EvalPipeline:
         self.window_mets = None  # in-program metrics of the last window
         self.wbuf = []  # buffered batches of the in-flight window
         self.cur_ridx = None  # device-resident rectification gather index
+        self.cur_rect = None  # device-resident forward rectification map
 
         # wall-clock attribution of the consumer loop (printed with
         # vis.verbose; negligible overhead otherwise)
@@ -586,12 +601,15 @@ class EvalPipeline:
         self.vstate_stale = False
         tm = self.tm
         raw = ridx = None
-        if staged is not None and staged[1].shape[2] == self.criteria.n_events:
+        if staged is not None and (
+            (staged[1]["yxp"] if isinstance(staged[1], dict)
+             else staged[1]).shape[2] == self.criteria.n_events
+        ):
             xs, evs, pols, emasks, aux, raw, ridx = staged
         elif self.eval_mesh is None:
             with tm("window_assemble"):
                 xs, evs, pols, emasks, aux, raw, ridx = self.stage_window(
-                    self.wbuf, ridx=self.cur_ridx)
+                    self.wbuf, ridx=self.cur_ridx, rect=self.cur_rect)
         else:
             from ..parallel.eval import shard_eval_window
 
@@ -647,7 +665,7 @@ class EvalPipeline:
 
     # --------------------------------------------------------- staging
 
-    def stage_window(self, bufs, ridx=None):
+    def stage_window(self, bufs, ridx=None, rect=None):
         """Stack a clean P-pass window and start its H2D transfers (from
         the producer thread — ``jnp.asarray`` is async, so the wire time
         overlaps the consumer's device dispatches).
@@ -660,7 +678,12 @@ class EvalPipeline:
         from the event lists + optional raw coords / the sequence's
         rectification gather index ``ridx`` —
         ops/encodings.derive_count_input, again the loader's own
-        construction; 24.6 -> ~6 MB/window at DSEC scale)."""
+        construction; 24.6 -> ~6 MB/window at DSEC scale). On top, the
+        u32 event wire (``self.u32_wire``) replaces the ``[P,B,N,4]``
+        f32 event list (+ raw coords) with f32 ts + ONE u32 per event;
+        ``rect`` is the sequence's device-resident forward rectification
+        map (``data.rectify_values``), which the program reads instead
+        of shipping the host's lookups."""
         aux = (jnp.asarray(bufs[-1]["gtflow"])
                if (self.use_extras and self.aee_in_program) else 0.0)
         emasks = pols = raw = None
@@ -671,29 +694,55 @@ class EvalPipeline:
                 np.stack([b["event_mask"] for b in bufs]))
             pols = jnp.asarray(np.stack(
                 [b["event_list_pol_mask"] for b in bufs]).astype(bool))
-            ridx = None
-        elif self.voxel is not None:
+            return (xs, jnp.asarray(
+                np.stack([b["event_list"] for b in bufs])),
+                pols, emasks, aux, None, None)
+        if self.voxel is not None:
             # voxel net input: fractional values (not exactly derivable
             # in f32) and the mask is not count-derived — ship both as-is
             xs = jnp.asarray(np.stack([b["net_input"] for b in bufs]))
             emasks = jnp.asarray(
                 np.stack([b["event_mask"] for b in bufs]))
             ridx = None
-        elif "event_raw_xy" in bufs[0]:
-            # rectified sequence: the event lists carry fractional
-            # rectified coords; the count encoding derives from the raw
-            # integer coords + the gather index instead
-            raw = jnp.asarray(
-                np.stack([b["event_raw_xy"] for b in bufs]))
-        return (
-            xs,
-            jnp.asarray(np.stack([b["event_list"] for b in bufs])),
-            pols,
-            emasks,
-            aux,
-            raw,
-            ridx,
-        )
+        evs, raw = self._stage_events(bufs, rect)
+        return (xs, evs, pols, emasks, aux, raw, ridx)
+
+    def _stage_events(self, bufs, rect):
+        """The staged window's event wire: u32-packed when exact, plain
+        otherwise. Returns ``(evs_or_wire_dict, raw_or_None)``."""
+        rectified = "event_raw_xy" in bufs[0]
+        if self.u32_wire and self.voxel is None:
+            from ..ops.encodings import pack_event_wire_np
+
+            if rectified and rect is not None and not self.coord_flips:
+                raw_np = np.stack([b["event_raw_xy"] for b in bufs])
+                ts = np.stack([b["event_list"][..., 0] for b in bufs])
+                p = np.stack([b["event_list"][..., 3] for b in bufs])
+                yxp = pack_event_wire_np(raw_np[..., 0], raw_np[..., 1], p)
+                return {"ts": jnp.asarray(ts), "yxp": jnp.asarray(yxp),
+                        "rect": rect}, None
+            if not rectified:
+                ev = np.stack([b["event_list"] for b in bufs])
+                if self._u32_ok is None:
+                    c = ev[..., 1:3]
+                    self._u32_ok = bool(
+                        np.all(c == np.floor(c))
+                        and c.min(initial=0.0) >= 0.0
+                        and c[..., 1].max(initial=0.0) < 16384
+                        and c[..., 0].max(initial=0.0) < 65536
+                    )
+                if self._u32_ok:
+                    yxp = pack_event_wire_np(ev[..., 1], ev[..., 2],
+                                             ev[..., 3])
+                    return {"ts": jnp.asarray(ev[..., 0]),
+                            "yxp": jnp.asarray(yxp)}, None
+        evs = jnp.asarray(np.stack([b["event_list"] for b in bufs]))
+        raw = None
+        if rectified and self.voxel is None:
+            # rectified fallback: fractional rectified coords in the
+            # list; the count encoding derives from the raw integers
+            raw = jnp.asarray(np.stack([b["event_raw_xy"] for b in bufs]))
+        return evs, raw
 
     # ------------------------------------------------- boundary metrics
 
@@ -841,22 +890,31 @@ def batch_stream(data, pipe: EvalPipeline):
     )
     grouper = WindowGrouper(pipe.passes)
     ridx_dev = "unset"  # device-cached rectification gather index
+    rect_dev = None  # device-cached forward rectification map (u32 wire)
     while True:
         b = data.next_batch()
         if b["ts_jump_reset"].any():
             data.clear_ts_jump()
         if ridx_dev == "unset" or b["new_seq"].any():
-            # the lane's rectification mapping (and so its gather index)
-            # changes only on sequence rollover; upload once per sequence
-            # from the producer thread
+            # the lane's rectification mapping (and so its gather index
+            # and forward map) changes only on sequence rollover; upload
+            # once per sequence from the producer thread
             r = data.remap_indices()
             ridx_dev = jnp.asarray(r) if r is not None else None
+            rect_dev = None
+            if pipe.u32_wire and not pipe.coord_flips:
+                rv = data.rectify_values()
+                # batch-1 eval: the window program reads ONE map
+                rect_dev = (jnp.asarray(rv[0])
+                            if rv is not None and rv.shape[0] == 1
+                            else None)
         meta = {
             "sequence": data.seq_name,
             "ts": data.last_proc_timestamp,
             "end_test": data.seq_num >= len(data.files),
             "bar_iters": data.get_iters(data.lanes[0]),
             "remap_idx": ridx_dev,
+            "rect_map": rect_dev,
         }
         if stage and not meta["end_test"]:
             full = grouper.feed(
@@ -864,7 +922,8 @@ def batch_stream(data, pipe: EvalPipeline):
                 bool(pipe.gtflow_mode and b["ts_jump_reset"].any()),
             )
             if full is not None:
-                meta["staged"] = pipe.stage_window(full, ridx=ridx_dev)
+                meta["staged"] = pipe.stage_window(full, ridx=ridx_dev,
+                                                   rect=rect_dev)
         yield b, meta
         if meta["end_test"]:
             return

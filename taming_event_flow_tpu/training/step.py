@@ -301,6 +301,23 @@ def make_eval_window_step(model, val, flow_scaling: float = 32.0,
                raw=None, ridx=None):
         if reset_first:
             vstate = val.reset(vstate)
+        if isinstance(evs, dict):
+            # u32-packed event wire (ops/encodings.unpack_event_wire):
+            # one u32 element carries (y, x, polarity); rectified
+            # sequences additionally gather the fractional coordinates
+            # from the sequence's forward map on device — bitwise the
+            # host lookup's values. ``raw`` only matters when the event
+            # list carries rectified coords (the count encoding then
+            # derives from the raw integers).
+            from taming_event_flow_tpu.ops.encodings import (
+                unpack_event_wire,
+            )
+
+            rect = evs.get("rect")
+            evs, raw_unpacked = unpack_event_wire(
+                evs["ts"], evs["yxp"], rect)
+            if rect is not None:
+                raw = raw_unpacked
         # packed wire formats from the staging producer: count-encoding
         # net inputs travel narrowed (integer counts by construction,
         # data/base.py) — or, with xs None, don't travel at all and

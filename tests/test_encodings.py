@@ -152,3 +152,46 @@ def test_derive_count_input_remap_and_raw_coords(rng):
         )
     )
     np.testing.assert_array_equal(dev, host)
+
+
+def test_event_wire_u32_roundtrip(rng):
+    """pack_event_wire_np -> unpack_event_wire restores (y, x, p) exactly,
+    including padding rows (p == 0 -> pcode 0 -> p 0), at the coordinate
+    extremes of the supported range."""
+    import jax.numpy as jnp
+
+    from taming_event_flow_tpu.ops.encodings import (
+        pack_event_wire_np,
+        unpack_event_wire,
+    )
+
+    n = 512
+    ys = rng.integers(0, 65536, n).astype(np.float32)
+    xs = rng.integers(0, 16384, n).astype(np.float32)
+    ps = rng.choice([-1.0, 0.0, 1.0], n).astype(np.float32)
+    ys[:4], xs[:4] = [0, 65535, 0, 65535], [0, 16383, 16383, 0]
+    ts = rng.uniform(0, 1, n).astype(np.float32)
+
+    yxp = pack_event_wire_np(ys, xs, ps)
+    assert yxp.dtype == np.uint32
+    ev, raw = unpack_event_wire(jnp.asarray(ts), jnp.asarray(yxp))
+    np.testing.assert_array_equal(np.asarray(ev[..., 0]), ts)
+    np.testing.assert_array_equal(np.asarray(ev[..., 1]), ys)
+    np.testing.assert_array_equal(np.asarray(ev[..., 2]), xs)
+    np.testing.assert_array_equal(np.asarray(ev[..., 3]), ps)
+    np.testing.assert_array_equal(np.asarray(raw),
+                                  np.stack([ys, xs], -1))
+
+    # rectified lookup: the gather reads the same f32 table the host does
+    h, w = 32, 48
+    ys = rng.integers(0, h, n).astype(np.float32)
+    xs = rng.integers(0, w, n).astype(np.float32)
+    rect = rng.normal(size=(h, w, 2)).astype(np.float32)
+    yxp = pack_event_wire_np(ys, xs, ps)
+    ev, raw = unpack_event_wire(jnp.asarray(ts), jnp.asarray(yxp),
+                                jnp.asarray(rect))
+    yi, xi = ys.astype(np.int64), xs.astype(np.int64)
+    np.testing.assert_array_equal(np.asarray(ev[..., 1]), rect[yi, xi, 1])
+    np.testing.assert_array_equal(np.asarray(ev[..., 2]), rect[yi, xi, 0])
+    np.testing.assert_array_equal(np.asarray(raw),
+                                  np.stack([ys, xs], -1))

@@ -148,18 +148,86 @@ def _batches(passes, n_events, res, b=1, raw=False, seed=0):
 
 
 def test_stage_window_packed_count_mode(pipe_factory):
-    """Packed wire, count mode: only the event lists (+aux) ship; net
-    input, masks and pol masks derive on device."""
+    """Packed wire, count mode: integral coords take the u32 event wire
+    (one u32 element per event); net input, masks and pol masks derive on
+    device, and the unpacked list equals the loader's exactly."""
+    from taming_event_flow_tpu.ops.encodings import unpack_event_wire
+
     cfg = _config(vis={"store": True, "show": ["flow_bw"]})
     pipe = pipe_factory(cfg)
+    assert pipe.u32_wire
     bufs = _batches(pipe.passes, 64, pipe.res)
     xs, evs, pols, emasks, aux, raw, ridx = pipe.stage_window(bufs)
     assert xs is None and pols is None and emasks is None and raw is None
-    assert evs.shape == (pipe.passes, 1, 64, 4)
+    assert isinstance(evs, dict) and "rect" not in evs
+    assert evs["yxp"].dtype == np.uint32
+    assert evs["yxp"].shape == (pipe.passes, 1, 64)
+    unpacked, raw_yx = unpack_event_wire(evs["ts"], evs["yxp"])
     np.testing.assert_array_equal(
-        np.asarray(evs), np.stack([b["event_list"] for b in bufs]))
+        np.asarray(unpacked), np.stack([b["event_list"] for b in bufs]))
+    np.testing.assert_array_equal(
+        np.asarray(raw_yx),
+        np.stack([b["event_list"][..., 1:3] for b in bufs]))
     # aux is the boundary GT (use_extras + aee_in_program)
     np.testing.assert_array_equal(np.asarray(aux), bufs[-1]["gtflow"])
+
+
+def test_stage_window_u32_fractional_coords_fall_back(pipe_factory):
+    """Fractional (non-loader) coordinates must disable the u32 wire via
+    the first-window integrality probe — packing would truncate them."""
+    cfg = _config(vis={"store": True, "show": ["flow_bw"]})
+    pipe = pipe_factory(cfg)
+    bufs = _batches(pipe.passes, 64, pipe.res)
+    for b in bufs:
+        b["event_list"][..., 1:3] += 0.25
+    xs, evs, pols, emasks, aux, raw, ridx = pipe.stage_window(bufs)
+    assert not isinstance(evs, dict)
+    assert pipe._u32_ok is False
+    np.testing.assert_array_equal(
+        np.asarray(evs), np.stack([b["event_list"] for b in bufs]))
+
+
+def test_stage_window_u32_wire_off_ships_plain(pipe_factory):
+    cfg = _config(vis={"store": True, "show": ["flow_bw"]},
+                  runtime={"u32_wire": False})
+    pipe = pipe_factory(cfg)
+    assert pipe.packed_wire and not pipe.u32_wire
+    bufs = _batches(pipe.passes, 64, pipe.res)
+    xs, evs, pols, emasks, aux, raw, ridx = pipe.stage_window(bufs)
+    assert not isinstance(evs, dict)
+    np.testing.assert_array_equal(
+        np.asarray(evs), np.stack([b["event_list"] for b in bufs]))
+
+
+def test_stage_window_rectified_u32_device_lookup(pipe_factory):
+    """Rectified + forward map: the wire ships raw u32 coords and the
+    device lookup reproduces the host's rectified event list bitwise."""
+    import jax.numpy as jnp
+
+    from taming_event_flow_tpu.ops.encodings import unpack_event_wire
+
+    cfg = _config(vis={"store": True, "show": ["flow_bw"]})
+    pipe = pipe_factory(cfg)
+    h, w = pipe.res
+    rng = np.random.default_rng(3)
+    # file-layout forward map: map[y_raw, x_raw] = (x_rect, y_rect)
+    rect = rng.uniform(-1, max(h, w), (h, w, 2)).astype(np.float32)
+    bufs = _batches(pipe.passes, 64, pipe.res, raw=True, seed=4)
+    for b in bufs:
+        yr = b["event_raw_xy"][..., 0].astype(np.int64)
+        xr = b["event_raw_xy"][..., 1].astype(np.int64)
+        b["event_list"][..., 1] = rect[yr, xr, 1]  # y_rect
+        b["event_list"][..., 2] = rect[yr, xr, 0]  # x_rect
+    xs, evs, pols, emasks, aux, raw, ridx = pipe.stage_window(
+        bufs, ridx="RIDX", rect=jnp.asarray(rect))
+    assert isinstance(evs, dict) and evs["rect"] is not None
+    assert raw is None and ridx == "RIDX"
+    unpacked, raw_yx = unpack_event_wire(evs["ts"], evs["yxp"],
+                                         evs["rect"])
+    np.testing.assert_array_equal(
+        np.asarray(unpacked), np.stack([b["event_list"] for b in bufs]))
+    np.testing.assert_array_equal(
+        np.asarray(raw_yx), np.stack([b["event_raw_xy"] for b in bufs]))
 
 
 def test_stage_window_rectified_ships_raw_coords(pipe_factory):
@@ -192,6 +260,32 @@ def test_stage_window_unpacked_ships_everything(pipe_factory):
     xs, evs, pols, emasks, aux, raw, ridx = pipe.stage_window(bufs)
     assert xs is not None and pols is not None and emasks is not None
     assert pols.dtype == bool and ridx is None
+
+
+def test_run_window_u32_wire_matches_plain(pipe_factory):
+    """The windowed dispatch fed the u32 wire must produce the same
+    boundary metrics as the plain packed wire (the unpacked event list is
+    bitwise the shipped one; only program structure differs)."""
+    results = {}
+    for u32 in (True, False):
+        cfg = _config(vis={"store": True, "show": ["flow_bw"]},
+                      runtime={"u32_wire": u32})
+        pipe = pipe_factory(cfg)
+        bufs = _batches(pipe.passes, pipe.criteria.n_events, pipe.res,
+                        seed=11)
+        staged = pipe.stage_window(bufs)
+        assert isinstance(staged[1], dict) == u32
+        pipe.vstate_stale = False
+        pipe.run_window(staged)
+        results[u32] = {k: np.asarray(v)
+                        for k, v in pipe.window_mets.items()}
+    assert set(results[True]) == set(results[False])
+    for k in results[True]:
+        np.testing.assert_allclose(
+            results[True][k].astype(np.float64),
+            results[False][k].astype(np.float64),
+            rtol=1e-5, atol=1e-5, err_msg=k,
+        )
 
 
 # ------------------------------------------------------- bucket handling
