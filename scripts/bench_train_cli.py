@@ -6,8 +6,10 @@ production, window staging, H2D wire, dispatch python, and readbacks — the
 round-3b attribution target (README). Prints the per-step wall and the
 consumer loop's SectionTimer breakdown (vis.verbose).
 
-Uses the persistent compilation cache (/tmp/bench_xla_cache): the first
-invocation pays the B=8 train-program compile; repeat runs measure steady
+Uses the persistent compilation cache, keyed on the CODE STATE like
+bench.py (a fixed shared dir served STALE executables across code
+versions -- the CLAUDE.md cache lesson): the first invocation per code
+state pays the B=8 train-program compile; repeat runs measure steady
 state. Run standalone (single TPU process, per CLAUDE.md):
 
     python scripts/bench_train_cli.py [--steps-per-epoch 20] [--epochs 2]
@@ -55,6 +57,9 @@ def main(argv=None):
     os.makedirs(ds, exist_ok=True)
     build_dataset(ds, args.steps_per_epoch)
 
+    import bench
+
+    cache_dir = f"/tmp/bench_xla_cache_{bench._code_state_digest()}"
     cfg = {
         "experiment": "bench_cli",
         "data": {"path": ds, "mode": "events", "window": N_EVENTS_WINDOW,
@@ -70,7 +75,7 @@ def main(argv=None):
                    "resolution": list(RES), "augment": [],
                    "augment_prob": [], "max_num_grad_events": 10000,
                    "n_events_pad": N_EVENTS_WINDOW, "seed": 7},
-        "runtime": {"compilation_cache": "/tmp/bench_xla_cache",
+        "runtime": {"compilation_cache": cache_dir,
                     "packed_wire": not args.no_packed_wire},
         "vis": {"verbose": True, "enabled": False, "store": False},
     }
